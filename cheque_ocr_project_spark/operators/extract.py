@@ -1,0 +1,132 @@
+"""Arrow-batched extraction operators.
+
+Two roles:
+
+1. ``fuzzy_match_candidates`` — the only stage of the flagship pipeline that
+   cannot be a native expression: difflib-parity dictionary matching
+   (issuer_processor_v.py:359-375). Run over the *distinct* candidate
+   strings (J6 memoization — dedup-before-expensive-op) against a
+   broadcast dictionary, then hash-joined back.
+
+2. ``extract_turns_udf`` — the full-oracle mapInPandas path: applies
+   oracle.turn.extract_turn over Arrow record batches. This is the
+   parity-guaranteed fallback and the apples-to-apples baseline the native
+   pipeline is benchmarked against (it is also how a model-holding UDF
+   would be shaped: per-worker lazy state, batch-in/batch-out).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cheque_ocr_project_spark.oracle import fuzzy as oracle_fuzzy
+from cheque_ocr_project_spark.oracle import issuer as oracle_issuer
+from cheque_ocr_project_spark.oracle import turn as oracle_turn
+
+FUZZY_SCHEMA = T.StructType([
+    T.StructField("cand_text", T.StringType()),
+    T.StructField("matched_name", T.StringType()),
+    T.StructField("similarity", T.DoubleType()),
+])
+
+
+def fuzzy_match_candidates(spark: SparkSession, candidates: DataFrame,
+                           drawer_dict: list[str],
+                           text_col: str = "cand_text") -> DataFrame:
+    """(distinct candidate text) -> (text, matched_name, similarity).
+
+    ``drawer_dict`` is broadcast once per job (small dimension); difflib runs
+    Arrow-batched over distinct candidates only. Output joins back to the
+    exploded line relation on ``cand_text``.
+    """
+    bc = spark.sparkContext.broadcast(drawer_dict)
+
+    def match_batch(pdf_iter):
+        dd = bc.value
+        for pdf in pdf_iter:
+            texts = pdf[text_col]
+            matched = []
+            sims = []
+            for t in texts:
+                name, sim = oracle_fuzzy.match_name_v1(t, dd)
+                matched.append(name)
+                sims.append(sim)
+            yield pd.DataFrame({
+                "cand_text": texts,
+                "matched_name": matched,
+                "similarity": sims,
+            })
+
+    return candidates.select(F.col(text_col)).distinct().mapInPandas(
+        match_batch, schema=FUZZY_SCHEMA
+    )
+
+
+RESULT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("main_text", T.StringType()),
+    T.StructField("success", T.BooleanType()),
+    T.StructField("error", T.StringType()),
+    T.StructField("cheque_type", T.StringType()),
+    T.StructField("is_government", T.BooleanType()),
+    T.StructField("government_category", T.StringType()),
+    T.StructField("payee_rule", T.StringType()),
+    T.StructField("payee_raw", T.StringType()),
+    T.StructField("payee_cleaned", T.StringType()),
+    T.StructField("issuer", T.StringType()),
+    T.StructField("issuer_conf", T.DoubleType()),
+    T.StructField("confidence", T.DoubleType()),
+    T.StructField("field_date", T.StringType()),
+    T.StructField("field_amount", T.StringType()),
+    T.StructField("field_account", T.StringType()),
+    T.StructField("micr_city", T.StringType()),
+    T.StructField("micr_bank", T.StringType()),
+    T.StructField("micr_serial", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("opr_no", T.StringType()),
+    T.StructField("file_mark", T.BooleanType()),
+])
+
+
+def extract_turns_udf(spark: SparkSession, transcripts: DataFrame,
+                      drawer_dict: list[str],
+                      threshold: float = oracle_issuer.DEFAULT_THRESHOLD_V1
+                      ) -> DataFrame:
+    """Full-oracle extraction via mapInPandas (parity baseline path).
+
+    Per-record errors are isolated inside the batch (B6 semantics: an ERROR
+    row is emitted, the job never fails)."""
+    bc = spark.sparkContext.broadcast(drawer_dict)
+
+    def run_batches(pdf_iter):
+        dd = bc.value
+        for pdf in pdf_iter:
+            out_rows = []
+            for conv_id, turn_idx, role, text, tool in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"],
+                pdf["tool"]
+            ):
+                try:
+                    rec = oracle_turn.extract_turn(
+                        None if text is None or (isinstance(text, float)) else text,
+                        role, None if tool is None or isinstance(tool, float) else tool,
+                        dd, threshold,
+                    )
+                except Exception as exc:  # B6: never fail the job
+                    rec = {f: None for f in oracle_turn.RESULT_FIELDS}
+                    rec.update({
+                        "success": False, "error": str(exc), "status": "ERROR",
+                        "issuer_conf": 0.0, "confidence": 0.0,
+                        "is_government": False, "file_mark": False,
+                    })
+                rec["conv_id"] = conv_id
+                rec["turn_idx"] = turn_idx
+                out_rows.append(rec)
+            yield pd.DataFrame(out_rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return transcripts.select(*cols).mapInPandas(run_batches, schema=RESULT_SCHEMA)

@@ -1,0 +1,737 @@
+"""Driver-contract queries: one entry per implemented operator.
+
+Each registry entry pairs a Spark DataFrame query (native expressions, built
+from the same vocab as the flagship pipeline) with DuckDB oracle SQL
+generated from that vocab. Column names/aliases are identical on both sides
+(the driver hash-compares values after sorting columns by name).
+
+SQL-dialect note: DuckDB regex is RE2 (no lookahead), so the two queries
+that need terminator context (`payee_extract`) use lookahead-free rewrites
+of the reference patterns ON BOTH SIDES; the flagship pipeline keeps the
+faithful Python-`re` grammars (proven equal to the oracle in
+tests/test_pipeline_equality.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cheque_ocr_project_spark.functions import columns as C
+from cheque_ocr_project_spark.functions import ducksql as D
+from cheque_ocr_project_spark.oracle import vocab
+
+# ---------------------------------------------------------------------------
+# shared bits
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+PAYEE_PATTERNS_SQLSAFE = (
+    r"PAY\s*TO\s*[:\s]*([A-Z][A-Z\s\.]+?)(\s+RUPEES|\s+RS\.?|\s*$)",
+    r"ORDER\s*OF\s*[:\s]*([A-Z][A-Z\s\.]+?)(\s+RUPEES|\s+RS\.?|\s*$)",
+    r"[Pp][Aa][Yy]\s*[:\s]*([A-Z][A-Z\s\.]{2,30})",
+    r"BEARER\s*[:\s]*([A-Z][A-Z\s\.]+)",
+    r"OR\s*BEARER\s*[:\s]*([A-Z][A-Z\s\.]+)",
+    r"FAVOUR\s+OF\s*[:\s]*([A-Z][A-Z\s\.]+)",
+    r"FAVOR\s+OF\s*[:\s]*([A-Z][A-Z\s\.]+)",
+    r"BENEFICIARY\s*[:\s]*([A-Z][A-Z\s\.]+)",
+    r"([A-Z][A-Z\s\.]{3,30})\s+(RUPEES|RS\.?)",
+    r"^([A-Z][A-Z\s\.]{5,50})$",
+)
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+              "for", "with", "at", "by", "from", "as", "that", "this")
+
+_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+# ---------------------------------------------------------------------------
+# P1: clean_text (issuer_processor_v.py:208-218)
+# ---------------------------------------------------------------------------
+
+def q_clean_text(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", C.clean_text_v1(F.col("text")).alias("cleaned")
+    )
+
+
+def sql_clean_text():
+    return (
+        f"SELECT doc_id, {D.clean_text_v1_sql('text')} AS cleaned FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/P5: junk + garbage predicates
+# ---------------------------------------------------------------------------
+
+def q_junk_flag(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        C.is_junk_v1(F.upper(F.col("text"))).alias("is_junk"),
+        C.is_garbage(F.upper(F.col("text"))).alias("is_garbage"),
+    )
+
+
+def sql_junk_flag():
+    return (
+        "SELECT doc_id, "
+        f"{D.is_junk_v1_sql('upper(text)')} AS is_junk, "
+        f"{D.is_garbage_sql('upper(text)')} AS is_garbage "
+        "FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1/C2: classification cascade (cheque_classifier.py:122-194)
+# ---------------------------------------------------------------------------
+
+def q_classify(spark, sf_dir):
+    u = F.upper(F.col("text"))
+    cat3 = u.contains("GOVERNMENT ACCOUNT") | u.contains("GOVT ACCOUNT")
+    cat2 = u.contains("NOT TRANSFERABLE") & C.any_term(
+        u, ("GOVT", "GOVERNMENT", "PAO", "DDO")
+    )
+    cat1 = C.any_term(u, vocab.GOVT_MARKERS_HIGH) | C.any_term(
+        u, vocab.GOVT_MARKERS_MEDIUM
+    )
+    is_dd = C.any_term(u, vocab.DD_MARKERS)
+    is_mc = C.any_term(u, vocab.MC_MARKERS)
+    crossed = F.coalesce(
+        u.rlike("|".join(f"(?:{p})" for p in vocab.CROSSED_PATTERNS)), F.lit(False)
+    )
+    words = F.filter(F.split(u, r"\s+"), lambda w: w != "")
+    is_self = u.contains("SELF") & (F.size(words) < 15)
+    ctype = (
+        F.when(cat3, "GOVT_GOVT_ACCOUNT")
+        .when(cat2, "GOVT_NON_TRANSFERABLE")
+        .when(cat1, "GOVT_NEGOTIABLE")
+        .when(is_dd, "DEMAND_DRAFT")
+        .when(is_mc, "MANAGERS_CHEQUE")
+        .when(crossed, "CROSSED")
+        .when(is_self, "SELF")
+        .otherwise("ORDER")
+    )
+    conf = (
+        F.when(cat3, 0.98).when(cat2, 0.95).when(cat1, 0.92)
+        .when(is_dd, 0.95).when(is_mc, 0.95).when(crossed, 0.85)
+        .when(is_self, 0.8).otherwise(0.7)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ctype.alias("cheque_type"),
+        conf.alias("type_conf"),
+        (cat3 | cat2 | cat1).alias("is_government"),
+        F.when(cat3, "III").when(cat2, "II").when(cat1, "I").alias("govt_category"),
+    )
+
+
+def sql_classify():
+    u = "upper(text)"
+    cat3 = f"({u} LIKE '%GOVERNMENT ACCOUNT%' OR {u} LIKE '%GOVT ACCOUNT%')"
+    cat2 = (
+        f"({u} LIKE '%NOT TRANSFERABLE%' AND "
+        f"{D.any_term_sql(u, ('GOVT', 'GOVERNMENT', 'PAO', 'DDO'))})"
+    )
+    cat1 = (
+        f"({D.any_term_sql(u, vocab.GOVT_MARKERS_HIGH)} OR "
+        f"{D.any_term_sql(u, vocab.GOVT_MARKERS_MEDIUM)})"
+    )
+    dd = D.any_term_sql(u, vocab.DD_MARKERS)
+    mc = D.any_term_sql(u, vocab.MC_MARKERS)
+    crossed = f"regexp_matches({u}, {D.rx('|'.join(f'(?:{p})' for p in vocab.CROSSED_PATTERNS))})"
+    n_words = f"len(regexp_extract_all({u}, '\\S+'))"
+    is_self = f"({u} LIKE '%SELF%' AND {n_words} < 15)"
+    return f"""
+SELECT doc_id,
+  CASE WHEN {cat3} THEN 'GOVT_GOVT_ACCOUNT'
+       WHEN {cat2} THEN 'GOVT_NON_TRANSFERABLE'
+       WHEN {cat1} THEN 'GOVT_NEGOTIABLE'
+       WHEN {dd} THEN 'DEMAND_DRAFT'
+       WHEN {mc} THEN 'MANAGERS_CHEQUE'
+       WHEN {crossed} THEN 'CROSSED'
+       WHEN {is_self} THEN 'SELF'
+       ELSE 'ORDER' END AS cheque_type,
+  CASE WHEN {cat3} THEN 0.98 WHEN {cat2} THEN 0.95 WHEN {cat1} THEN 0.92
+       WHEN {dd} THEN 0.95 WHEN {mc} THEN 0.95 WHEN {crossed} THEN 0.85
+       WHEN {is_self} THEN 0.8 ELSE 0.7 END AS type_conf,
+  ({cat3} OR {cat2} OR {cat1}) AS is_government,
+  CASE WHEN {cat3} THEN 'III' WHEN {cat2} THEN 'II' WHEN {cat1} THEN 'I'
+       END AS govt_category
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# F1: payee extraction (lookahead-free rewrite, both sides)
+# ---------------------------------------------------------------------------
+
+def q_payee_extract(spark, sf_dir):
+    u = F.upper(F.col("text"))
+    chain = None
+    for p in PAYEE_PATTERNS_SQLSAFE:
+        cand = F.trim(F.regexp_extract(u, p, 1))
+        ok = u.rlike(p) & ~C.is_bank_or_metadata(cand)
+        chain = F.when(ok, cand) if chain is None else chain.when(ok, cand)
+    payee = chain.otherwise(F.lit(None).cast("string"))
+    return _docs(spark, sf_dir).select("doc_id", payee.alias("payee_raw"))
+
+
+def sql_payee_extract():
+    u = "upper(text)"
+    bank_meta = (
+        f"({D.any_term_sql('cand', vocab.PAYEE_BANK_TERMS)} OR "
+        f"{D.any_term_sql('cand', vocab.PAYEE_METADATA_TERMS)})"
+    )
+    whens = []
+    for p in PAYEE_PATTERNS_SQLSAFE:
+        cand = f"trim(regexp_extract({u}, {D.rx(p)}, 1))"
+        cond = (
+            f"regexp_matches({u}, {D.rx(p)}) AND NOT "
+            + bank_meta.replace("cand", cand)
+        )
+        whens.append(f"WHEN {cond} THEN {cand}")
+    case = "CASE " + " ".join(whens) + " ELSE NULL END"
+    return f"SELECT doc_id, {case} AS payee_raw FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# F9-F12: payee cleaning chain
+# ---------------------------------------------------------------------------
+
+def q_payee_clean(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", C.clean_payee(F.col("text")).alias("payee_cleaned")
+    )
+
+
+def sql_payee_clean():
+    return (
+        f"SELECT doc_id, {D.clean_payee_sql('text')} AS payee_cleaned "
+        "FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F13: spelling-correction chain (UPPER form — DuckDB lacks initcap)
+# ---------------------------------------------------------------------------
+
+def q_spelling_correct(spark, sf_dir):
+    s = F.upper(F.col("text"))
+    for wrong, right in vocab.SPELLING_CORRECTIONS:
+        s = F.replace(s, F.lit(wrong), F.lit(right))
+    for word in vocab.GARBAGE_WORDS:
+        s = F.replace(s, F.lit(word), F.lit(""))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    s = F.regexp_replace(s, r"[^A-Z\s]", "")
+    out = F.when(
+        F.col("text").isNull() | (F.length("text") == 0), F.lit("UNKNOWN")
+    ).otherwise(F.when(F.length(s) >= 3, s).otherwise(F.lit("UNKNOWN")))
+    return _docs(spark, sf_dir).select("doc_id", out.alias("corrected"))
+
+
+def sql_spelling_correct():
+    return (
+        f"SELECT doc_id, {D.correct_spelling_sql('text')} AS corrected "
+        "FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2-F5: field grammars (date / amount / account / MICR)
+# ---------------------------------------------------------------------------
+
+_DATE_PAT = r"Date:\s*(\d{2})[./](\d{2})[./](\d{4})"
+_AMOUNT_PAT = r"[₹Rs\.]*\s*([\d,]+(\.\d{2})?)[/\-]?"
+_ACCOUNT_PAT = r"A/C No\.?[\s:]*(\d{10,20})"
+
+
+def q_field_grammars(spark, sf_dir):
+    t = F.col("text")
+    date = F.when(
+        t.rlike(_DATE_PAT),
+        F.concat(
+            F.regexp_extract(t, _DATE_PAT, 1),
+            F.regexp_extract(t, _DATE_PAT, 2),
+            F.regexp_extract(t, _DATE_PAT, 3),
+        ),
+    )
+    amount = F.when(
+        t.rlike(_AMOUNT_PAT),
+        F.replace(F.regexp_extract(t, _AMOUNT_PAT, 1), F.lit(","), F.lit("")),
+    )
+    account = F.when(t.rlike(_ACCOUNT_PAT), F.regexp_extract(t, _ACCOUNT_PAT, 1))
+    micr = vocab.MICR_PATTERN
+    has_micr = t.rlike(micr)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        date.alias("field_date"),
+        amount.alias("field_amount"),
+        account.alias("field_account"),
+        F.when(has_micr, F.regexp_extract(t, micr, 1)).alias("micr_city"),
+        F.when(has_micr, F.regexp_extract(t, micr, 2)).alias("micr_bank"),
+        F.when(has_micr, F.regexp_extract(t, micr, 3)).alias("micr_serial"),
+    )
+
+
+def sql_field_grammars():
+    def ex(pat, grp):
+        return f"regexp_extract(text, {D.rx(pat)}, {grp})"
+
+    def guard(pat, expr):
+        return f"CASE WHEN regexp_matches(text, {D.rx(pat)}) THEN {expr} END"
+
+    date = guard(_DATE_PAT, f"{ex(_DATE_PAT,1)} || {ex(_DATE_PAT,2)} || {ex(_DATE_PAT,3)}")
+    amount = guard(_AMOUNT_PAT, f"replace({ex(_AMOUNT_PAT,1)}, ',', '')")
+    account = guard(_ACCOUNT_PAT, ex(_ACCOUNT_PAT, 1))
+    micr = vocab.MICR_PATTERN
+    return f"""
+SELECT doc_id,
+  {date} AS field_date,
+  {amount} AS field_amount,
+  {account} AS field_account,
+  {guard(micr, ex(micr, 1))} AS micr_city,
+  {guard(micr, ex(micr, 2))} AS micr_bank,
+  {guard(micr, ex(micr, 3))} AS micr_serial
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token count / quality score / language-ID / fingerprint
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    t = F.col("text")
+    ws_tokens = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0)))
+    bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(_TOKEN_PATTERN), F.lit(0)))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+    )
+
+
+def sql_token_stats():
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+  len(regexp_extract_all(text, {D.rx(_TOKEN_PATTERN)})) AS bpe_tokens
+FROM documents"""
+
+
+def q_quality_score(spark, sf_dir):
+    t = F.col("text")
+    length = F.length(t)
+    alpha_ratio = C.n_alpha(t) / length
+    punct_ratio = (
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / length
+    )
+    tokens = F.regexp_extract_all(F.lower(t), F.lit(r"[a-z]+"), F.lit(0))
+    stop_hits = F.size(F.filter(tokens, lambda w: w.isin(*_STOPWORDS)))
+    stop_ratio = F.when(F.size(tokens) > 0, stop_hits / F.size(tokens)).otherwise(0.0)
+    quality = F.round(
+        0.4 * alpha_ratio + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio), 6
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def sql_quality_score():
+    stop_list = ", ".join(D.q(w) for w in _STOPWORDS)
+    return f"""
+SELECT doc_id,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 6) AS alpha_ratio,
+  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+  round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+        THEN len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                              w -> w IN ({stop_list}))) * 1.0
+             / len(regexp_extract_all(lower(text), '[a-z]+'))
+        ELSE 0.0 END, 6) AS stop_ratio,
+  round(0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+      + 0.3 * (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+               THEN len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                     w -> w IN ({stop_list}))) * 1.0
+                    / len(regexp_extract_all(lower(text), '[a-z]+'))
+               ELSE 0.0 END)
+      + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)), 6) AS quality
+FROM documents"""
+
+
+def q_lang_id(spark, sf_dir):
+    tokens = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
+    stop_hits = F.size(F.filter(tokens, lambda w: w.isin(*_STOPWORDS)))
+    n = F.size(tokens)
+    ratio = F.when(n > 0, stop_hits / n).otherwise(0.0)
+    lang = F.when(ratio >= 0.05, "en").otherwise("unk")
+    return _docs(spark, sf_dir).select("doc_id", lang.alias("lang_pred"))
+
+
+def sql_lang_id():
+    stop_list = ", ".join(D.q(w) for w in _STOPWORDS)
+    ratio = f"""CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+      THEN len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                            w -> w IN ({stop_list}))) * 1.0
+           / len(regexp_extract_all(lower(text), '[a-z]+'))
+      ELSE 0.0 END"""
+    return f"""
+SELECT doc_id, CASE WHEN {ratio} >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents"""
+
+
+def q_fingerprint(spark, sf_dir):
+    norm = F.trim(F.regexp_replace(F.upper(F.col("text")), r"\s+", " "))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+def sql_fingerprint():
+    norm = D.collapse_ws("upper(text)")
+    return f"SELECT doc_id, md5({norm}) AS fingerprint FROM documents"
+
+
+def q_dedup_exact(spark, sf_dir):
+    norm = F.trim(F.regexp_replace(F.upper(F.col("text")), r"\s+", " "))
+    df = _docs(spark, sf_dir).withColumn("fingerprint", F.md5(norm))
+    return df.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def sql_dedup_exact():
+    norm = D.collapse_ws("upper(text)")
+    return f"""
+SELECT md5({norm}) AS fingerprint, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# W1/W5/A2/K4/S11/S12: events-hosted operators
+# ---------------------------------------------------------------------------
+
+def q_top1_event_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def sql_top1_event_per_user():
+    return """
+SELECT user_id, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""
+
+
+def q_event_status_gate(spark, sf_dir):
+    status = (
+        F.when(F.col("value") >= 90.0, "AUTO-UPDATED")
+        .when(F.col("value") >= 70.0, "REVIEW")
+        .otherwise("REJECTED")
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("status", status)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_event_status_gate():
+    return """
+SELECT CASE WHEN value >= 90.0 THEN 'AUTO-UPDATED'
+            WHEN value >= 70.0 THEN 'REVIEW'
+            ELSE 'REJECTED' END AS status, count(*) AS n
+FROM events GROUP BY 1"""
+
+
+def q_event_stats(spark, sf_dir):
+    return _events(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+def sql_event_stats():
+    return """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY 1"""
+
+
+def q_json_props(spark, sf_dir):
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_json_props():
+    return """
+SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY 1"""
+
+
+def q_union_dedup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("value") > 95.0).select("user_id")
+    return a.unionByName(b).dropDuplicates(["user_id"])
+
+
+def sql_union_dedup():
+    return """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id FROM events WHERE value > 95.0
+)"""
+
+
+def q_last_tokens(spark, sf_dir):
+    tokens = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    last3 = F.array_join(F.slice(tokens, -3, 3), " ")
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.size(tokens) >= 3)
+        .select("doc_id", last3.alias("last_tokens"))
+    )
+
+
+def sql_last_tokens():
+    return """
+SELECT doc_id,
+  array_to_string(regexp_extract_all(text, '\\S+')[-3:], ' ') AS last_tokens
+FROM documents
+WHERE len(regexp_extract_all(text, '\\S+')) >= 3"""
+
+
+# ---------------------------------------------------------------------------
+# J2 (SQL variant): levenshtein-similarity dictionary join
+# ---------------------------------------------------------------------------
+
+def q_lev_match(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    first_tok = F.regexp_extract(F.upper(F.col("text")), r"^([A-Za-z]+)", 1)
+    dim = (
+        docs.filter(F.col("doc_id") < 30)
+        .select(F.upper(first_tok).alias("dict_name"))
+        .filter(F.length("dict_name") > 0)
+        .distinct()
+    )
+    cands = docs.select("doc_id", F.upper(first_tok).alias("cand"))
+    joined = cands.join(F.broadcast(dim))
+    sim = F.round(
+        1.0
+        - F.levenshtein(F.col("cand"), F.col("dict_name"))
+        / F.greatest(F.length("cand"), F.length("dict_name")),
+        6,
+    )
+    joined = joined.withColumn("sim", sim).filter(F.col("sim") >= 0.5)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sim").desc(), F.col("dict_name").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dict_name", "sim")
+    )
+
+
+def sql_lev_match():
+    return """
+WITH dim AS (
+  SELECT DISTINCT upper(regexp_extract(upper(text), '^([A-Za-z]+)', 1)) AS dict_name
+  FROM documents WHERE doc_id < 30
+    AND length(regexp_extract(upper(text), '^([A-Za-z]+)', 1)) > 0
+), cands AS (
+  SELECT doc_id, upper(regexp_extract(upper(text), '^([A-Za-z]+)', 1)) AS cand
+  FROM documents
+)
+SELECT doc_id, dict_name, sim FROM (
+  SELECT c.doc_id, d.dict_name,
+         round(1.0 - levenshtein(c.cand, d.dict_name) * 1.0
+               / greatest(length(c.cand), length(d.dict_name)), 6) AS sim
+  FROM cands c CROSS JOIN dim d
+) WHERE sim >= 0.5
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, dict_name ASC) = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    joined = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.col("qvec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = F.round(dot / (norm_a * norm_b), 4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "rn")
+    )
+
+
+def sql_ann_topk():
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding, q.qvec)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, rn FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5"""
+
+
+# ---------------------------------------------------------------------------
+# flagship: full extraction pipeline over documents-as-transcripts
+# (difflib fuzzy join → rows-only check, no SQL oracle)
+# ---------------------------------------------------------------------------
+
+def documents_as_transcripts(spark, sf_dir) -> DataFrame:
+    """Deterministic mapping of the documents table into the transcripts
+    shape (conv_id, turn_idx, role, text, tool, ts)."""
+    d = _docs(spark, sf_dir)
+    role = (
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+    )
+    tool = F.when(
+        F.col("doc_id") % 3 == 2,
+        F.when(F.col("doc_id") % 2 == 0, "web_fetch").otherwise("pdf_extract"),
+    )
+    return d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text"),
+        tool.alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def default_drawer_dict() -> list[str]:
+    from cheque_ocr_project_spark.oracle import fuzzy
+    from cheque_ocr_project_spark.sources import synth
+
+    master = synth.generate_master(seed=7)
+    return fuzzy.build_drawer_dict(master.drawer_nm.tolist())
+
+
+def q_flagship_extract(spark, sf_dir):
+    from cheque_ocr_project_spark.plans import pipeline as P
+
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    return P.extract_pipeline(spark, transcripts, default_drawer_dict()).drop(
+        "main_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "clean_text": (q_clean_text, sql_clean_text),
+    "junk_flag": (q_junk_flag, sql_junk_flag),
+    "classify": (q_classify, sql_classify),
+    "payee_extract": (q_payee_extract, sql_payee_extract),
+    "payee_clean": (q_payee_clean, sql_payee_clean),
+    "spelling_correct": (q_spelling_correct, sql_spelling_correct),
+    "field_grammars": (q_field_grammars, sql_field_grammars),
+    "token_stats": (q_token_stats, sql_token_stats),
+    "quality_score": (q_quality_score, sql_quality_score),
+    "lang_id": (q_lang_id, sql_lang_id),
+    "fingerprint": (q_fingerprint, sql_fingerprint),
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "top1_event_per_user": (q_top1_event_per_user, sql_top1_event_per_user),
+    "event_status_gate": (q_event_status_gate, sql_event_status_gate),
+    "event_stats": (q_event_stats, sql_event_stats),
+    "json_props": (q_json_props, sql_json_props),
+    "union_dedup": (q_union_dedup, sql_union_dedup),
+    "last_tokens": (q_last_tokens, sql_last_tokens),
+    "lev_match": (q_lev_match, sql_lev_match),
+    "ann_topk": (q_ann_topk, sql_ann_topk),
+    "flagship_extract": (q_flagship_extract, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    out = {}
+    for name, (_fn, sql) in REGISTRY.items():
+        if sql is not None:
+            out[name] = sql() if callable(sql) else sql
+    return out

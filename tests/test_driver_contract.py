@@ -1,0 +1,77 @@
+"""Mirror of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet (sf0.01) and
+compare row counts + order-insensitive values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = df[c].astype("Int64") if pd.api.types.is_integer_dtype(df[c]) else df[c]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_duckdb(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sdf = qfn(spark, SF_DIR).toPandas()
+    ddf = duck.execute(entrymod.oracle_sql()[name]).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    a, b = _canon(sdf), _canon(ddf)
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = list(a[col]), list(b[col])
+        bad = [
+            i for i, (x, y) in enumerate(zip(av, bv))
+            if not (
+                (pd.isna(x) and pd.isna(y))
+                or x == y
+                or (
+                    isinstance(x, float) and isinstance(y, float)
+                    and math.isclose(x, y, rel_tol=0, abs_tol=2e-6)
+                )
+            )
+        ]
+        assert not bad, (
+            f"{name}.{col}: {len(bad)} mismatches; first row {bad[0]}: "
+            f"spark={av[bad[0]]!r} duck={bv[bad[0]]!r}"
+        )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert "payee_cleaned" in df.columns
+    assert "issuer" in df.columns
