@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship extraction throughput is measured over a deterministic
+replication of the documents table mapped into the transcripts shape
+(documents-as-transcripts x REPLICATION) so the turn count is meaningful at
+small SF; throughput is reported as turns/sec alongside wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATION", "20"))
+
+# Headline driver-contract queries (cheap ones excluded; these exercise the
+# interesting plans: regex-heavy scans, window top-1, joins, ANN).
+HEADLINE = [
+    "clean_text",
+    "classify",
+    "payee_extract",
+    "payee_clean",
+    "field_grammars",
+    "quality_score",
+    "top1_event_per_user",
+    "event_stats",
+    "lev_match",
+    "ann_topk",
+    "dedup_exact",
+]
+
+
+def build_session() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("cheque_ocr_project_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    """Fully materialize a plan without sink cost; returns row count."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def replicated_transcripts(spark, sf_dir: str, replication: int):
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    base = Q.documents_as_transcripts(spark, sf_dir)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replication - 1))).alias("rep")
+    return (
+        base.select("*", reps)
+        .withColumn("conv_id", F.concat_ws("-", F.col("conv_id"), F.col("rep")))
+        .drop("rep")
+    )
+
+
+def main() -> None:
+    from cheque_ocr_project_spark.plans import pipeline as P
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_match = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
+
+    timings: dict[str, float] = {}
+    registry = Q.queries()
+
+    # flagship extraction throughput
+    transcripts = replicated_transcripts(spark, SF_DIR, REPLICATION)
+    n_turns = transcripts.count()
+    dd = Q.default_drawer_dict()
+    t0 = time.perf_counter()
+    out = P.extract_pipeline(spark, transcripts, dd)
+    out.write.format("noop").mode("overwrite").save()
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_extract"] = round(flagship_sec, 3)
+    turns_per_sec = n_turns / flagship_sec if flagship_sec else 0.0
+
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "flagship_turns": n_turns,
+                "flagship_turns_per_sec": round(turns_per_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

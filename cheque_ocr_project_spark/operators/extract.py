@@ -101,32 +101,44 @@ def extract_turns_udf(spark: SparkSession, transcripts: DataFrame,
     Per-record errors are isolated inside the batch (B6 semantics: an ERROR
     row is emitted, the job never fails)."""
     bc = spark.sparkContext.broadcast(drawer_dict)
+    field_names = [f.name for f in RESULT_SCHEMA.fields]
+    out_fields = list(oracle_turn.RESULT_FIELDS)
 
     def run_batches(pdf_iter):
         dd = bc.value
+        cache: dict = {}  # per-task fuzzy-match memo (J6; reference match_cache)
         for pdf in pdf_iter:
-            out_rows = []
-            for conv_id, turn_idx, role, text, tool in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"],
-                pdf["tool"]
-            ):
+            # columnar accumulation (dict-of-lists -> DataFrame is ~5x
+            # cheaper than list-of-dicts for wide results)
+            out: dict[str, list] = {name: [] for name in out_fields}
+            for text, role, tool in zip(pdf["text"], pdf["role"], pdf["tool"]):
                 try:
                     rec = oracle_turn.extract_turn(
-                        None if text is None or (isinstance(text, float)) else text,
-                        role, None if tool is None or isinstance(tool, float) else tool,
-                        dd, threshold,
+                        None if text is None or isinstance(text, float) else text,
+                        role,
+                        None if tool is None or isinstance(tool, float) else tool,
+                        dd, threshold, cache,
                     )
                 except Exception as exc:  # B6: never fail the job
-                    rec = {f: None for f in oracle_turn.RESULT_FIELDS}
+                    rec = dict.fromkeys(out_fields)
                     rec.update({
                         "success": False, "error": str(exc), "status": "ERROR",
                         "issuer_conf": 0.0, "confidence": 0.0,
                         "is_government": False, "file_mark": False,
                     })
-                rec["conv_id"] = conv_id
-                rec["turn_idx"] = turn_idx
-                out_rows.append(rec)
-            yield pd.DataFrame(out_rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+                for name in out_fields:
+                    out[name].append(rec[name])
+            out_pdf = pd.DataFrame(out)
+            out_pdf.insert(0, "conv_id", pdf["conv_id"].values)
+            out_pdf.insert(1, "turn_idx", pdf["turn_idx"].values)
+            yield out_pdf[field_names]
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    return transcripts.select(*cols).mapInPandas(run_batches, schema=RESULT_SCHEMA)
+    src = transcripts.select(*cols)
+    # CPU-bound stage: make sure there are at least as many tasks as cores.
+    # (A single small parquet file otherwise pins the whole extraction on
+    # 1-2 tasks.) At real scale input splits >> cores, so this is a no-op.
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(run_batches, schema=RESULT_SCHEMA)

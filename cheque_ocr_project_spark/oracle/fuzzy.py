@@ -31,18 +31,29 @@ def build_drawer_dict(raw_names: Iterable[str]) -> list[str]:
     return sorted(names)
 
 
-def match_name_v1(text: str | None, drawer_dict: list[str]) -> tuple[str | None, float]:
+def match_name_v1(text: str | None, drawer_dict: list[str],
+                  cache: dict | None = None) -> tuple[str | None, float]:
+    """Optional memo cache = the reference's per-run match cache
+    (IssuerBatchProcessorV3.py:51) — pure memoization, no semantic effect."""
     if not text:
         return None, 0.0
     text = text.upper()
+    if cache is not None:
+        hit = cache.get(text)
+        if hit is not None:
+            return hit
     if text in drawer_dict:
-        return text, 1.0
-    matches = difflib.get_close_matches(text, drawer_dict, n=1, cutoff=0.78)
-    if not matches:
-        return None, 0.0
-    best = matches[0]
-    similarity = difflib.SequenceMatcher(None, text, best).ratio()
-    return best, similarity
+        result = (text, 1.0)
+    else:
+        matches = difflib.get_close_matches(text, drawer_dict, n=1, cutoff=0.78)
+        if not matches:
+            result = (None, 0.0)
+        else:
+            best = matches[0]
+            result = (best, difflib.SequenceMatcher(None, text, best).ratio())
+    if cache is not None:
+        cache[text] = result
+    return result
 
 
 def match_name_v3(text: str | None, drawer_dict: list[str],

@@ -54,7 +54,8 @@ def split_lines(text: str | None) -> list[tuple[str, float]]:
 
 
 def extract_issuer_v1(lines: list[tuple[str, float]],
-                      drawer_dict: list[str]) -> tuple[str, float, float]:
+                      drawer_dict: list[str],
+                      cache: dict | None = None) -> tuple[str, float, float]:
     """Candidate generation + scoring + stable top-1.
 
     Returns (best_text, best_conf, best_score); ("XXX", 0.0, -1.0) when no
@@ -83,7 +84,7 @@ def extract_issuer_v1(lines: list[tuple[str, float]],
         if not predicates.is_valid_drawer_v1(text):
             continue
 
-        matched, similarity = fuzzy.match_name_v1(text, drawer_dict)
+        matched, similarity = fuzzy.match_name_v1(text, drawer_dict, cache)
         final_text = matched if matched else text
         score = conf
         if matched:
@@ -126,8 +127,8 @@ def issuer_for_scan(lines: list[tuple[str, float]],
 
 
 def process_turn_issuer_v1(text: str | None, drawer_dict: list[str],
-                           threshold: float = DEFAULT_THRESHOLD_V1
-                           ) -> tuple[str, float]:
+                           threshold: float = DEFAULT_THRESHOLD_V1,
+                           cache: dict | None = None) -> tuple[str, float]:
     """Full V1 issuer path for one turn: FOR scan → candidates → gates."""
     lines = split_lines(text)
     if not lines:
@@ -137,7 +138,7 @@ def process_turn_issuer_v1(text: str | None, drawer_dict: list[str],
     if hit is not None:
         return hit
 
-    best_text, best_conf, _best_score = extract_issuer_v1(lines, drawer_dict)
+    best_text, best_conf, _best_score = extract_issuer_v1(lines, drawer_dict, cache)
     if best_text == "XXX":
         return "XXX", 0.0
     if best_conf < threshold:

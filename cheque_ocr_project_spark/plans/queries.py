@@ -212,14 +212,18 @@ def sql_payee_extract():
 # ---------------------------------------------------------------------------
 
 def q_payee_clean(spark, sf_dir):
+    # cleaning operates on extracted payee candidates (short strings), not
+    # whole documents — bound the input like the reference bounds model
+    # inputs (ai_processor.py:159 text[:512])
+    cand = F.substring(F.col("text"), 1, 80)
     return _docs(spark, sf_dir).select(
-        "doc_id", C.clean_payee(F.col("text")).alias("payee_cleaned")
+        "doc_id", C.clean_payee(cand).alias("payee_cleaned")
     )
 
 
 def sql_payee_clean():
     return (
-        f"SELECT doc_id, {D.clean_payee_sql('text')} AS payee_cleaned "
+        f"SELECT doc_id, {D.clean_payee_sql('text[1:80]')} AS payee_cleaned "
         "FROM documents"
     )
 

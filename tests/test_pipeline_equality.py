@@ -62,14 +62,18 @@ def expected(fixture_data):
 
 def test_native_pipeline_matches_oracle(spark, transcripts_sdf, fixture_data, expected):
     _t, _m, drawer_dict = fixture_data
-    out = P.extract_pipeline(spark, transcripts_sdf, drawer_dict).toPandas()
+    out = P.extract_pipeline(
+        spark, transcripts_sdf, drawer_dict, engine="native"
+    ).toPandas()
     _assert_frames_equal(out, expected, "native")
 
 
-def test_udf_pipeline_matches_oracle(spark, transcripts_sdf, fixture_data, expected):
+def test_arrow_pipeline_matches_oracle(spark, transcripts_sdf, fixture_data, expected):
     _t, _m, drawer_dict = fixture_data
-    out = X.extract_turns_udf(spark, transcripts_sdf, drawer_dict).toPandas()
-    _assert_frames_equal(out, expected, "udf")
+    out = P.extract_pipeline(
+        spark, transcripts_sdf, drawer_dict, engine="arrow"
+    ).toPandas()
+    _assert_frames_equal(out, expected, "arrow")
 
 
 def test_stable_ordering(spark, transcripts_sdf, fixture_data):
