@@ -1,0 +1,88 @@
+"""spark-submit entrypoint for the extraction job.
+
+Packaging (north rule: ships as --py-files):
+
+    python -m zipfile -c /tmp/cheque_ocr_project_spark.zip cheque_ocr_project_spark
+    spark-submit --py-files /tmp/cheque_ocr_project_spark.zip \
+        cheque_ocr_project_spark/job.py \
+        --input /path/to/transcripts --output /path/to/out \
+        --dict-source /path/to/master.parquet --n-buckets 256 --resume
+
+In local testing `--master local[N]` comes from spark-submit / the default
+session; on a cluster the same invocation runs unchanged at N or 4N
+executors (scaling evidence: BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_args(argv=None):
+    ap = argparse.ArgumentParser(description="transcripts extraction job")
+    ap.add_argument("--input", required=True,
+                    help="transcripts source: Iceberg table name or parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--dict-source", default=None,
+                    help="parquet with a drawer_nm column for the fuzzy "
+                         "dictionary (default: built-in deterministic dim)")
+    ap.add_argument("--threshold", type=float, default=0.90)
+    ap.add_argument("--n-buckets", type=int, default=64,
+                    help="checkpoint/salt buckets (resume granularity)")
+    ap.add_argument("--engine", choices=["arrow", "native"], default="arrow")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip buckets already committed to the manifest")
+    ap.add_argument("--limit", type=int, default=None)
+    return ap.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = build_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from cheque_ocr_project_spark.oracle import fuzzy
+    from cheque_ocr_project_spark.sources import checkpoint, io
+
+    spark = (
+        SparkSession.builder.appName("cheque-ocr-extraction")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    transcripts = io.read_transcripts(spark, args.input)
+    if args.limit:
+        transcripts = transcripts.limit(args.limit)
+
+    if args.dict_source:
+        raw_names = [
+            r[0] for r in spark.read.parquet(args.dict_source)
+            .select("drawer_nm").collect()
+        ]
+        drawer_dict = fuzzy.build_drawer_dict(raw_names)
+    else:
+        from cheque_ocr_project_spark.plans.queries import default_drawer_dict
+        drawer_dict = default_drawer_dict()
+
+    if not args.resume:
+        # fresh run: ignore (but do not delete) any previous manifest
+        import shutil
+        from pathlib import Path
+
+        manifest = Path(args.output) / "_manifest"
+        if manifest.exists():
+            shutil.rmtree(manifest)
+
+    stats = checkpoint.run_with_checkpoint(
+        spark, transcripts, drawer_dict, args.output,
+        n_buckets=args.n_buckets, threshold=args.threshold, engine=args.engine,
+    )
+    print(json.dumps({"job": "extraction", **stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Checkpoint manifest + idempotent resume (north rule; SURVEY.md B5).
+
+The resume unit is a *bucket*: ``pmod(xxhash64(conv_id, turn_idx), n)``.
+Buckets are stable under any input partitioning (unlike physical partition
+ids) and give salted-hash granularity on conv_id — a heavy conversation
+spreads across all buckets, so no resume unit pins a single long session.
+
+Protocol:
+1. completed buckets are read from ``<output>/_manifest`` (JSON lines:
+   bucket, rows, bytes, input_fingerprint, wall_ms, engine)
+2. pending = input anti-filtered on completed bucket ids
+3. extraction runs on pending; results written with dynamic partition
+   overwrite into ``<output>/data/bucket=<b>/`` (re-running a bucket is
+   idempotent — it replaces exactly its own directory)
+4. per-bucket metrics (row count, byte size, order-independent input
+   fingerprint) appended to the manifest only AFTER the data commit, so a
+   crash between 3 and 4 re-processes the bucket (at-least-once, idempotent)
+
+Input-change detection: the fingerprint is the xor-sum of per-row
+``xxhash64(conv_id, turn_idx, text)``; a resumed run whose recomputed
+fingerprint for a completed bucket differs can invalidate it (``strict``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "bucket"
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(n_buckets)),
+    )
+
+
+def read_manifest(output_dir: str) -> list[dict]:
+    path = Path(output_dir) / "_manifest"
+    if not path.exists():
+        return []
+    entries = []
+    for f in sorted(path.glob("*.json")):
+        with f.open() as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    entries.append(json.loads(line))
+    return entries
+
+
+def completed_buckets(output_dir: str) -> set[int]:
+    return {e["bucket"] for e in read_manifest(output_dir)}
+
+
+def append_manifest(output_dir: str, entries: list[dict]) -> None:
+    path = Path(output_dir) / "_manifest"
+    path.mkdir(parents=True, exist_ok=True)
+    stamp = f"commit-{int(time.time() * 1000)}-{len(entries)}"
+    tmp = path / f".{stamp}.tmp"
+    with tmp.open("w") as fh:
+        for e in entries:
+            fh.write(json.dumps(e) + "\n")
+    tmp.rename(path / f"{stamp}.json")  # atomic publish
+
+
+def input_fingerprints(transcripts_b: DataFrame) -> DataFrame:
+    """Per-bucket order-independent input fingerprint + input row count
+    (xor-fold of row hashes: commutative, no ANSI sum overflow)."""
+    h = F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.coalesce(F.col("text"), F.lit("")))
+    return (
+        transcripts_b.withColumn("__h", h)
+        .groupBy(BUCKET_COL)
+        .agg(
+            F.expr("bit_xor(__h)").alias("input_fingerprint"),
+            F.count(F.lit(1)).alias("input_rows"),
+        )
+    )
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    drawer_dict: list[str],
+    output_dir: str,
+    n_buckets: int = 64,
+    threshold: float = 0.90,
+    engine: str = "arrow",
+) -> dict:
+    """Extraction with per-bucket lineage + metrics; resumable.
+
+    Returns {"processed_buckets": int, "skipped_buckets": int, "rows": int}.
+    """
+    from cheque_ocr_project_spark.plans import pipeline as P
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    tb = with_bucket(transcripts, n_buckets)
+    done = completed_buckets(output_dir)
+    pending = tb.filter(~F.col(BUCKET_COL).isin(list(done))) if done else tb
+
+    n_pending_buckets = pending.select(BUCKET_COL).distinct().count()
+    if n_pending_buckets == 0:
+        return {"processed_buckets": 0, "skipped_buckets": len(done), "rows": 0}
+
+    t0 = time.perf_counter()
+    result = P.extract_pipeline(
+        spark, pending.drop(BUCKET_COL), drawer_dict, threshold, engine=engine
+    )
+    result = with_bucket(result, n_buckets)
+
+    data_dir = f"{output_dir}/data"
+    result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    # Metrics from the committed data (not the in-flight plan): rows + bytes
+    # per bucket, joined with the input fingerprints.
+    committed = spark.read.parquet(data_dir).filter(
+        F.col(BUCKET_COL).isin(
+            [r[0] for r in pending.select(BUCKET_COL).distinct().collect()]
+        )
+    )
+    byte_size = (
+        F.octet_length(F.coalesce(F.col("main_text"), F.lit("")))
+        + F.octet_length(F.coalesce(F.col("payee_cleaned"), F.lit("")))
+        + F.octet_length(F.coalesce(F.col("issuer"), F.lit("")))
+    )
+    stats = committed.groupBy(BUCKET_COL).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(byte_size).alias("bytes"),
+    )
+    fps = input_fingerprints(tb.join(stats.select(BUCKET_COL), BUCKET_COL, "left_semi"))
+    per_bucket = stats.join(fps, BUCKET_COL, "left").collect()
+
+    entries = [
+        {
+            "bucket": int(r[BUCKET_COL]),
+            "rows": int(r["rows"]),
+            "bytes": int(r["bytes"]),
+            "input_fingerprint": int(r["input_fingerprint"]),
+            "input_rows": int(r["input_rows"]),
+            "wall_ms": wall_ms,
+            "engine": engine,
+        }
+        for r in per_bucket
+    ]
+    append_manifest(output_dir, entries)
+    total_rows = sum(e["rows"] for e in entries)
+    return {
+        "processed_buckets": len(entries),
+        "skipped_buckets": len(done),
+        "rows": total_rows,
+    }

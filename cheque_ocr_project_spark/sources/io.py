@@ -1,0 +1,76 @@
+"""Readers / sinks / keyed merge (SURVEY.md §2.1).
+
+The transcripts table is an Iceberg-layout table in production
+(`spark.read.table("transcripts")`); in this sandbox it is a parquet
+directory with the same schema, so every reader takes either a table name
+or a path. Sinks:
+
+- ``write_results``      — append-only result table (S6/S7 analog)
+- ``merge_upsert``       — keyed update of a master table (S8: the
+  reference's update_original_dbf by filename-stem key). With an Iceberg
+  catalog this is `MERGE INTO`; the portable fallback implements the same
+  semantics as join + column coalesce + full overwrite.
+- ``stem_key``           — the reference's filename-stem join key
+  (issuer_processor_v.py:552-560: lower-cased Path(...).stem)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
+    """Read the transcripts table (Iceberg table name or parquet path)."""
+    if "/" in source:
+        return spark.read.parquet(source)
+    return spark.read.table(source)
+
+
+def write_results(df: DataFrame, path: str, mode: str = "append") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def stem_key(col: Column) -> Column:
+    """lower(Path(x).stem): strip directory and the last extension
+    (= issuer_processor_v.py:554, dbf_processor.py:195)."""
+    base = F.element_at(F.split(col, r"[/\\]"), -1)
+    return F.lower(F.regexp_replace(base, r"\.[^.]*$", ""))
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str],
+                 update_cols: list[str]) -> DataFrame:
+    """MERGE ... WHEN MATCHED THEN UPDATE semantics as a portable plan.
+
+    Rows of ``target`` matched by ``updates`` on ``keys`` get ``update_cols``
+    replaced; unmatched target rows pass through; updates without a matching
+    target row are ignored (the reference's update_original_dbf returns False
+    for them — no insert). The small ``updates`` side is broadcast when
+    Catalyst sizes allow; with heavy updates the join shuffles on the key,
+    which is the scalable path.
+    """
+    upd = updates.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in update_cols]
+    )
+    merged = target.join(upd, keys, "left")
+    for c in update_cols:
+        merged = merged.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    return merged.drop(*[f"__new_{c}" for c in update_cols])
+
+
+def merge_into_iceberg(spark: SparkSession, target_table: str,
+                       updates: DataFrame, keys: list[str],
+                       update_cols: list[str]) -> bool:
+    """True Iceberg `MERGE INTO` when a catalog with the target exists;
+    returns False (caller falls back to merge_upsert) otherwise."""
+    try:
+        updates.createOrReplaceTempView("__merge_updates")
+        on = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+        sets = ", ".join(f"t.{c} = u.{c}" for c in update_cols)
+        spark.sql(
+            f"MERGE INTO {target_table} t USING __merge_updates u "
+            f"ON {on} WHEN MATCHED THEN UPDATE SET {sets}"
+        )
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,84 @@
+"""Checkpoint manifest + idempotent resume (north rule B5) and keyed merge."""
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from cheque_ocr_project_spark.sources import checkpoint as CP
+from cheque_ocr_project_spark.sources import io as IO
+
+
+def test_resume_skips_completed_buckets(spark, transcripts_sdf, fixture_data, tmp_path):
+    _t, _m, dd = fixture_data
+    out = str(tmp_path / "out")
+    n_buckets = 8
+
+    # full run
+    stats1 = CP.run_with_checkpoint(spark, transcripts_sdf, dd, out, n_buckets)
+    assert stats1["processed_buckets"] == n_buckets
+    full = spark.read.parquet(f"{out}/data")
+    n_all = full.count()
+    assert n_all == transcripts_sdf.count()
+
+    # resume over the same input: nothing to do
+    stats2 = CP.run_with_checkpoint(spark, transcripts_sdf, dd, out, n_buckets)
+    assert stats2["processed_buckets"] == 0
+    assert stats2["skipped_buckets"] == n_buckets
+
+    # simulate a crash between data commit and manifest append: drop the
+    # manifest entries for 3 buckets, resume must reprocess exactly those
+    manifest_dir = Path(out) / "_manifest"
+    entries = CP.read_manifest(out)
+    keep = [e for e in entries if e["bucket"] not in {0, 1, 2}]
+    for f in manifest_dir.glob("*.json"):
+        f.unlink()
+    CP.append_manifest(out, keep)
+
+    stats3 = CP.run_with_checkpoint(spark, transcripts_sdf, dd, out, n_buckets)
+    assert stats3["processed_buckets"] == 3
+    assert stats3["skipped_buckets"] == n_buckets - 3
+
+    # idempotence: same row count, same content after the partial rerun
+    again = spark.read.parquet(f"{out}/data")
+    assert again.count() == n_all
+    assert CP.completed_buckets(out) == set(range(n_buckets))
+
+    # manifest metrics are sane
+    for e in CP.read_manifest(out):
+        assert e["rows"] > 0 and e["bytes"] > 0 and "input_fingerprint" in e
+
+
+def test_manifest_metrics_cover_all_rows(spark, transcripts_sdf, fixture_data, tmp_path):
+    _t, _m, dd = fixture_data
+    out = str(tmp_path / "out2")
+    CP.run_with_checkpoint(spark, transcripts_sdf, dd, out, n_buckets=4)
+    total = sum(e["rows"] for e in CP.read_manifest(out))
+    assert total == transcripts_sdf.count()
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [("c1", 0, "OLD", "X"), ("c1", 1, "OLD", "X"), ("c2", 0, "OLD", "X")],
+        "conv_id string, turn_idx int, drawer_nm string, opr_no string",
+    )
+    updates = spark.createDataFrame(
+        [("c1", 1, "NEW NAME", "AS601"), ("c9", 9, "IGNORED", "AS601")],
+        "conv_id string, turn_idx int, drawer_nm string, opr_no string",
+    )
+    merged = IO.merge_upsert(
+        target, updates, ["conv_id", "turn_idx"], ["drawer_nm", "opr_no"]
+    )
+    rows = {(r.conv_id, r.turn_idx): (r.drawer_nm, r.opr_no) for r in merged.collect()}
+    assert rows[("c1", 1)] == ("NEW NAME", "AS601")   # matched → updated
+    assert rows[("c1", 0)] == ("OLD", "X")            # unmatched → unchanged
+    assert ("c9", 9) not in rows                      # no insert semantics
+    assert len(rows) == 3
+
+
+def test_stem_key(spark):
+    df = spark.createDataFrame(
+        [("DIR/P_000123.TIF",), ("a\\b\\IMG.tiff",), ("plain",)], "f string"
+    )
+    got = [r[0] for r in df.select(IO.stem_key(F.col("f"))).collect()]
+    assert got == ["p_000123", "img", "plain"]
