@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce`` — exact baseline: broadcast the query set,
+  native zip_with/aggregate dot products (JVM-side), window top-k. Scales
+  as |corpus| x |queries|; right when the query set is small.
+- ``lsh_topk`` — the scale path: random-hyperplane LSH. Each vector gets a
+  ``n_planes``-bit sign signature; vectors are bucketed by signature bands
+  and only same-band rows meet the queries (multiprobe via several
+  independent bands). Recall is tested against the brute-force baseline.
+- ``cosine_near_dup_pairs`` — embedding near-duplicate detection: pairs
+  with cosine >= threshold among LSH-band candidates.
+
+Hyperplanes are seeded (deterministic run-to-run).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cosine(vec_a, vec_b) -> "F.Column":
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(vec_a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(vec_b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.try_divide(dot, na * nb)
+
+
+def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """queries(query_id, qvec) x emb → top-k neighbors per query."""
+    joined = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = F.round(_cosine(F.col(vec_col), F.col("qvec")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rn")
+    )
+
+
+def hyperplane_signatures(spark: SparkSession, df: DataFrame, id_col: str,
+                          vec_col: str, dim: int, n_planes: int = 16,
+                          n_bands: int = 4, seed: int = 29) -> DataFrame:
+    """id → array of band keys (each band = n_planes sign bits from an
+    independent hyperplane set)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_bands, n_planes, dim)).astype(np.float32)
+    bc = spark.sparkContext.broadcast(planes)
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.StringType())),
+    ])
+
+    def batches(pdf_iter):
+        pl = bc.value
+        for pdf in pdf_iter:
+            vecs = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+            keys = []
+            # (n_rows, n_bands, n_planes) sign bits -> per-band key string
+            proj = np.einsum("rd,bpd->rbp", vecs, pl) > 0
+            weights = (1 << np.arange(pl.shape[1])).astype(np.int64)
+            codes = (proj * weights[None, None, :]).sum(axis=2)
+            for row in codes:
+                keys.append([f"{b}:{int(c)}" for b, c in enumerate(row)])
+            yield pd.DataFrame({"id": pdf[id_col].values, "bands": keys})
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(batches, schema)
+
+
+def lsh_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+             dim: int, k: int = 5, n_planes: int = 12, n_bands: int = 6,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 29) -> DataFrame:
+    """Approximate top-k: only same-LSH-band (query, corpus) pairs scored."""
+    corpus_sig = hyperplane_signatures(
+        spark, emb, id_col, vec_col, dim, n_planes, n_bands, seed
+    ).select(F.col("id").alias(id_col), F.explode("bands").alias("band_key"))
+    query_sig = hyperplane_signatures(
+        spark, queries.select(F.col("query_id").alias(id_col), F.col("qvec").alias(vec_col)),
+        id_col, vec_col, dim, n_planes, n_bands, seed,
+    ).select(F.col("id").alias("query_id"), F.explode("bands").alias("band_key"))
+
+    cand = (
+        corpus_sig.join(F.broadcast(query_sig), "band_key")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = (
+        cand.join(emb, id_col)
+        .join(F.broadcast(queries), "query_id")
+    )
+    sim = F.round(_cosine(F.col(vec_col), F.col("qvec")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rn")
+    )
+
+
+def cosine_near_dup_pairs(spark: SparkSession, emb: DataFrame, dim: int,
+                          threshold: float = 0.9, n_planes: int = 12,
+                          n_bands: int = 6, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          seed: int = 29) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold among band-mates."""
+    sigs = hyperplane_signatures(
+        spark, emb, id_col, vec_col, dim, n_planes, n_bands, seed
+    ).select(F.col("id"), F.explode("bands").alias("band_key"))
+    left = sigs.select("band_key", F.col("id").alias("id_a"))
+    right = sigs.select("band_key", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
+    sim = F.round(_cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        pairs.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

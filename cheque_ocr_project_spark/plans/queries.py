@@ -656,6 +656,168 @@ SELECT query_id, vec_id, rn FROM (
 
 
 # ---------------------------------------------------------------------------
+# Dedup family (exact is above; these are the LSH/SimHash/ngram operators)
+# ---------------------------------------------------------------------------
+
+def _docs_with_near_dups(spark, sf_dir) -> DataFrame:
+    """documents ∪ deterministic near-duplicate copies (every 7th doc, with
+    its 2nd..4th whitespace tokens dropped), ids offset by 1,000,000 — gives
+    the dedup operators guaranteed, reproducible positives."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    mutated = F.array_join(
+        F.concat(F.slice(toks, 1, 1), F.slice(toks, 5, 100000)), " "
+    )
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        mutated.alias("text"), "lang", "source", "n_chars",
+    )
+    return d.unionByName(dups)
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
+        threshold=0.5,
+    )
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 25).select(
+        "doc_id", F.substring("text", 1, 100).alias("t")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("t").alias("t_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("t").alias("t_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b",
+        DD.ngram_jaccard(F.col("t_a"), F.col("t_b"), 3).alias("jaccard"),
+    )
+
+
+def sql_ngram_jaccard_pairs():
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length({t}) - 1, 1)),"
+        " i -> {t}[i:i+2]))"
+    )
+    ga, gb = grams.format(t="t_a"), grams.format(t="t_b")
+    return f"""
+WITH d AS (SELECT doc_id, text[1:100] AS t FROM documents WHERE doc_id < 25)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect({ga.replace('t_a','a.t')}, {gb.replace('t_b','b.t')})) * 1.0
+             / greatest(len(list_distinct(list_concat({ga.replace('t_a','a.t')}, {gb.replace('t_b','b.t')}))), 1), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("vec_a"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("vec_b"), F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (na * nb), 4)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def sql_embedding_near_dup():
+    return """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.3"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.lsh_topk(spark, emb, queries_df, dim=64, k=5, n_planes=4, n_bands=24)
+
+
+def q_embedding_lsh_near_dup(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    emb = _embeddings(spark, sf_dir)
+    return SIM.cosine_near_dup_pairs(spark, emb, dim=64, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode; rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_media_image_features(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import multimodal as MM
+
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.image_features(media)
+
+
+def q_media_audio_features(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import multimodal as MM
+
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.audio_features(media)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import multimodal as MM
+
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.sample_frames(media, fps=1.0)
+
+
+def q_media_resize(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import multimodal as MM
+
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    out = MM.resize_images(media, scale_percent=50)
+    return out.select(
+        "media_id", "width", "height",
+        F.octet_length("payload").alias("payload_bytes"),
+    )
+
+
+def sql_media_resize():
+    # mirrors media_from_documents + resize_images for image-kind docs.
+    # floor() matches Spark's truncating int cast (DuckDB CAST rounds).
+    return """
+SELECT doc_id AS media_id,
+  CAST(floor((((octet_length(encode(text)) % 640) + 32) * 50) / 100.0) AS INT) AS width,
+  CAST(floor((((octet_length(encode(text)) * 7 % 480) + 32) * 50) / 100.0) AS INT) AS height,
+  greatest(CAST(floor((octet_length(encode(text)) * 50) / 100.0) AS INT), 1) AS payload_bytes
+FROM documents WHERE doc_id % 3 = 0"""
+
+
+# ---------------------------------------------------------------------------
 # flagship: full extraction pipeline over documents-as-transcripts
 # (difflib fuzzy join → rows-only check, no SQL oracle)
 # ---------------------------------------------------------------------------
@@ -725,6 +887,16 @@ REGISTRY: dict[str, tuple] = {
     "last_tokens": (q_last_tokens, sql_last_tokens),
     "lev_match": (q_lev_match, sql_lev_match),
     "ann_topk": (q_ann_topk, sql_ann_topk),
+    "minhash_near_dup": (q_minhash_near_dup, None),
+    "simhash_near_dup": (q_simhash_near_dup, None),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
+    "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
+    "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "media_image_features": (q_media_image_features, None),
+    "media_audio_features": (q_media_audio_features, None),
+    "media_frame_sample": (q_media_frame_sample, None),
+    "media_resize": (q_media_resize, sql_media_resize),
     "flagship_extract": (q_flagship_extract, None),
 }
 
