@@ -134,11 +134,56 @@ def extract_turns_udf(spark: SparkSession, transcripts: DataFrame,
             yield out_pdf[field_names]
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    src = transcripts.select(*cols)
-    # CPU-bound stage: make sure there are at least as many tasks as cores.
-    # (A single small parquet file otherwise pins the whole extraction on
-    # 1-2 tasks.) At real scale input splits >> cores, so this is a no-op.
-    target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    src = _ensure_parallelism(spark, transcripts.select(*cols))
     return src.mapInPandas(run_batches, schema=RESULT_SCHEMA)
+
+
+def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """CPU-bound stage: make sure there are at least as many tasks as cores.
+    (A single small parquet file otherwise pins the whole extraction on 1-2
+    tasks.) At real scale input splits >> cores, so this is a no-op."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+V3_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("issuer_v3", T.StringType()),
+    T.StructField("confidence_v3", T.DoubleType()),
+    T.StructField("matched_with", T.StringType()),
+    T.StructField("status_v3", T.StringType()),
+])
+
+
+def extract_turns_v3_udf(spark: SparkSession, transcripts: DataFrame,
+                         drawer_dict: list[str],
+                         threshold: float = 0.85) -> DataFrame:
+    """V3-variant extraction (IssuerBatchProcessorV3 semantics)."""
+    bc = spark.sparkContext.broadcast(drawer_dict)
+    names = [f.name for f in V3_SCHEMA.fields]
+
+    def run_batches(pdf_iter):
+        dd = bc.value
+        cache: dict = {}
+        for pdf in pdf_iter:
+            out: dict[str, list] = {n: [] for n in names[2:]}
+            for text, role, tool in zip(pdf["text"], pdf["role"], pdf["tool"]):
+                rec = oracle_turn.extract_turn_v3(
+                    None if text is None or isinstance(text, float) else text,
+                    role,
+                    None if tool is None or isinstance(tool, float) else tool,
+                    dd, threshold, cache,
+                )
+                for n in names[2:]:
+                    out[n].append(rec[n])
+            out_pdf = pd.DataFrame(out)
+            out_pdf.insert(0, "conv_id", pdf["conv_id"].values)
+            out_pdf.insert(1, "turn_idx", pdf["turn_idx"].values)
+            yield out_pdf[names]
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    src = _ensure_parallelism(spark, transcripts.select(*cols))
+    return src.mapInPandas(run_batches, schema=V3_SCHEMA)

@@ -49,6 +49,32 @@ RESULT_FIELDS = (
 )
 
 
+V3_RESULT_FIELDS = ("issuer_v3", "confidence_v3", "matched_with", "status_v3")
+
+
+def extract_turn_v3(text: str | None, role: str | None, tool: str | None,
+                    drawer_dict: list[str],
+                    threshold: float = issuer_mod.DEFAULT_THRESHOLD_V3,
+                    cache: dict | None = None) -> dict:
+    """V3 per-turn record: IssuerBatchProcessorV3 semantics
+    (clean_v3 → junk/validity → conf-top-1 → dict match w/ prefix strip →
+    status cascade). The multi-ROI loop (IssuerBatchProcessorV3.py:367-393)
+    collapses in the graft: the turn's main content is the single 'region'."""
+    if role == "tool":
+        content = boilerplate.main_content(text, tool)
+    else:
+        content = text or ""
+    lines = issuer_mod.split_lines(content)
+    issuer, conf, matched = issuer_mod.extract_issuer_v3(lines, drawer_dict, cache)
+    status = issuer_mod.status_v3(issuer, conf, matched, threshold)
+    return {
+        "issuer_v3": issuer,
+        "confidence_v3": float(conf),
+        "matched_with": matched,
+        "status_v3": status,
+    }
+
+
 def extract_turn(text: str | None, role: str | None, tool: str | None,
                  drawer_dict: list[str],
                  threshold: float = issuer_mod.DEFAULT_THRESHOLD_V1,

@@ -862,6 +862,13 @@ def q_flagship_extract(spark, sf_dir):
     )
 
 
+def q_flagship_extract_v3(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import extract as X
+
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    return X.extract_turns_v3_udf(spark, transcripts, default_drawer_dict())
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -898,16 +905,25 @@ REGISTRY: dict[str, tuple] = {
     "media_frame_sample": (q_media_frame_sample, None),
     "media_resize": (q_media_resize, sql_media_resize),
     "flagship_extract": (q_flagship_extract, None),
+    "flagship_extract_v3": (q_flagship_extract_v3, None),
 }
 
 
+def _merged_registry() -> dict:
+    from cheque_ocr_project_spark.plans.queries_v3 import REGISTRY_V3
+
+    merged = dict(REGISTRY)
+    merged.update(REGISTRY_V3)
+    return merged
+
+
 def queries():
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: fn for name, (fn, _sql) in _merged_registry().items()}
 
 
 def oracle_sql():
     out = {}
-    for name, (_fn, sql) in REGISTRY.items():
+    for name, (_fn, sql) in _merged_registry().items():
         if sql is not None:
             out[name] = sql() if callable(sql) else sql
     return out

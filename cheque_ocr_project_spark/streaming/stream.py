@@ -1,0 +1,117 @@
+"""Structured Streaming wrapper for incremental extraction.
+
+The reference is strictly batch (SURVEY.md §2.10) — its incremental
+machinery is directory chunking with an in-memory dedup set
+(parallel_processor.py:124-128). The Spark-native equivalent is a file
+stream source + the engine's exactly-once sink tracking:
+
+- ``stream_extract``  — readStream over a transcripts directory →
+  the same Arrow-batched extraction → parquet sink with checkpointing.
+  ``Trigger.AvailableNow`` drains everything present and stops, which is
+  the batch-chunking semantics the reference hand-rolls (restart = resume
+  from the streaming checkpoint; files already committed are never
+  reprocessed — the S12 dedup guard for free).
+- ``stream_status_counts`` — the run-metrics counters (A2) as a streaming
+  aggregation with ``outputMode('complete')`` into memory for monitoring.
+
+Event-time machinery (watermarks, windowed aggregation over ``ts``) is
+demonstrated in ``stream_turn_rate`` — turns/minute with a 10-minute
+watermark for late turns — the idiom a production monitor would use even
+though the reference itself has no event-time semantics to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str,
+                           max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
+                   checkpoint_dir: str, drawer_dict: list[str],
+                   threshold: float = 0.90, available_now: bool = True):
+    """Incremental extraction: new transcript files → extraction records.
+
+    foreachBatch applies the same mapInPandas extraction used by the batch
+    pipeline, so streaming and batch share one implementation (and one
+    equality proof)."""
+    from cheque_ocr_project_spark.operators import extract as X
+
+    stream = read_transcript_stream(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = X.extract_turns_udf(spark, batch_df, drawer_dict, threshold)
+        out.write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_status_counts(spark: SparkSession, results_dir: str,
+                         checkpoint_dir: str, query_name: str):
+    """Run-metrics counters (A2) as a streaming aggregation into memory."""
+    results = (
+        spark.readStream.schema(
+            spark.read.parquet(results_dir).schema
+        ).format("parquet").load(results_dir)
+    )
+    counts = results.groupBy("status").count()
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_turn_rate(spark: SparkSession, input_dir: str, checkpoint_dir: str,
+                     query_name: str, window: str = "1 minute",
+                     watermark: str = "10 minutes"):
+    """Event-time turns-per-window with late-data watermark."""
+    stream = read_transcript_stream(spark, input_dir)
+    rate = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window))
+        .agg(F.count(F.lit(1)).alias("turns"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("turns"),
+        )
+    )
+    return (
+        rate.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
