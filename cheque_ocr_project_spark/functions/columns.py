@@ -84,12 +84,17 @@ def _chain_regex_strip(col: Column, patterns) -> Column:
 def remove_prefixes_v3(col: Column) -> Column:
     """= oracle.cleaning.remove_prefixes_v3 (ordered anchored strips)."""
     s = _chain_regex_strip(F.upper(col), vocab.PREFIX_PATTERNS_V3)
-    return F.when(col.isNull(), col).otherwise(F.trim(s))
+    return F.when(col.isNull(), col).otherwise(pystrip(s))
+
+
+def pystrip(col: Column) -> Column:
+    """Python str.strip(): ALL whitespace (Spark trim strips spaces only)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
 def clean_payee(col: Column) -> Column:
     """= oracle.cleaning.clean_payee (ordered title/special/suffix chain)."""
-    s = F.trim(F.upper(col))
+    s = pystrip(F.upper(col))
     s = _chain_regex_strip(s, vocab.TITLE_PATTERNS)
     for ch, repl in vocab.SPECIAL_CHAR_MAP:
         s = F.replace(s, F.lit(ch), F.lit(repl))
@@ -181,7 +186,8 @@ def is_valid_drawer_v1(text: Column) -> Column:
     alpha = n_alpha(t)
     digits = n_digit(t)
     total = F.length(t)
-    words = F.split(t, " ")
+    # Python str.split(): any-whitespace split, empty tokens dropped
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
     has_ms = t.contains("M/S")  # "M/S." ⊂ "M/S" containment
     dot_count = total - F.length(F.regexp_replace(t, r"\.", ""))
     hyphen_parts = F.size(F.split(t, "-"))
@@ -223,9 +229,8 @@ def looks_like_real_name(text: Column) -> Column:
     total = F.length(t)
     special = total - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
     u = F.upper(t)
-    words = F.split(u, " ")
-    # the reference splits on whitespace: drop empty tokens like str.split()
-    words = F.filter(words, lambda w: w != "")
+    # Python str.split(): any-whitespace split, empty tokens dropped
+    words = F.filter(F.split(u, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
     common = F.size(
         F.array_intersect(words, F.array(*[F.lit(w) for w in sorted(vocab.COMMON_NAME_PARTS)]))

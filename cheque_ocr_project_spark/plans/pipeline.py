@@ -41,6 +41,9 @@ KEYS = ["conv_id", "turn_idx"]
 
 _COLLAPSE = lambda c: F.trim(F.regexp_replace(c, r"\s+", " "))  # noqa: E731
 
+# Python str.strip() strips ALL whitespace; Spark trim() strips spaces only.
+_PYSTRIP = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+
 
 def _html_main(text: Column) -> Column:
     lines = F.split(text, "\n")
@@ -119,7 +122,7 @@ def _line_conf(ln: Column) -> Column:
 
 
 def _nonblank_lines(content: Column) -> Column:
-    return F.filter(F.split(content, "\n"), lambda ln: F.trim(ln) != "")
+    return F.filter(F.split(content, "\n"), lambda ln: ln.rlike(r"\S"))
 
 
 def _designation_literal(u: Column) -> Column:
@@ -175,7 +178,7 @@ def _payee_raw_col(u: Column) -> Column:
     candidate is not bank/metadata wins."""
     chain = None
     for p in vocab.PAYEE_PATTERNS:
-        cand = F.trim(F.regexp_extract(u, p, 1))
+        cand = _PYSTRIP(F.regexp_extract(u, p, 1))
         ok = u.rlike(p) & ~C.is_bank_or_metadata(cand)
         chain = F.when(ok, cand) if chain is None else chain.when(ok, cand)
     return chain.otherwise(F.lit(None).cast("string"))
@@ -346,7 +349,7 @@ def _line_relation(df: DataFrame) -> DataFrame:
 
 def _for_suffix(text: Column, u: Column, marker: str) -> Column:
     """text[u.find(marker)+len(marker):].strip() — raw-case FOR suffix."""
-    return F.trim(F.substr(text, F.instr(u, marker) + len(marker)))
+    return _PYSTRIP(F.substr(text, F.instr(u, marker) + len(marker)))
 
 
 _MARKER_RX = "FOR |F/O |F/ |PROP "  # raw-scan precondition (any marker)
@@ -366,8 +369,8 @@ def issuer_stage(spark: SparkSession, df_turns: DataFrame, drawer_dict: list[str
         *KEYS,
         "line_idx",
         "conf",
-        F.trim(F.col("raw_line")).alias("stext"),
-        C.clean_text_v1(F.trim(F.col("raw_line"))).alias("cleaned"),
+        _PYSTRIP(F.col("raw_line")).alias("stext"),
+        C.clean_text_v1(_PYSTRIP(F.col("raw_line"))).alias("cleaned"),
     )
 
     # FOR-scan short-circuit: first marker (list order) whose raw-text suffix
@@ -402,7 +405,7 @@ def issuer_stage(spark: SparkSession, df_turns: DataFrame, drawer_dict: list[str
     is_for_line = F.col("cleaned").rlike(_FOR_LINE_RX)
     for_cand = None
     for m in vocab.FOR_MARKERS:
-        pot = F.trim(F.substr(F.col("cleaned"), F.instr(F.col("cleaned"), m) + len(m)))
+        pot = _PYSTRIP(F.substr(F.col("cleaned"), F.instr(F.col("cleaned"), m) + len(m)))
         ok = F.col("cleaned").contains(m) & C.is_valid_drawer_v1(pot)
         for_cand = F.when(ok, pot) if for_cand is None else for_cand.when(ok, pot)
     for_cand = for_cand.otherwise(F.lit(None).cast("string"))
