@@ -41,6 +41,17 @@ def clean_text_v1(text: str | None) -> str:
     return " ".join(s.split()).strip()
 
 
+def clean_text_v2(text: str | None) -> str:
+    """V2 variant: v1 + 6->G, 8->B mappings (issuer_processor_v2.py:104-122)."""
+    if not text:
+        return "XXX"
+    s = text.upper()
+    s = s.replace("0", "O").replace("1", "I").replace("|", "I")
+    s = s.replace("5", "S").replace("6", "G").replace("8", "B")
+    s = _NON_CHARSET_V1.sub(" ", s)
+    return " ".join(s.split()).strip()
+
+
 # Applied in this order after upper(); the 'l'->'I' mapping is inert post-upper
 # but kept for fidelity with IssuerBatchProcessorV3.py:178-186.
 _V3_CHAR_MAP = (("|", "I"), ("!", "I"), ("l", "I"), ("0", "O"), ("1", "I"),

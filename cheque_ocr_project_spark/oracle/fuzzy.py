@@ -56,6 +56,29 @@ def match_name_v1(text: str | None, drawer_dict: list[str],
     return result
 
 
+def match_name_v2(text: str, drawer_dict: list[str]) -> tuple[str | None, float]:
+    """V2: containment either direction (len ratio > 0.6) or SequenceMatcher
+    ratio > 0.7, argmax over the sorted dictionary with strict improvement
+    (ties keep the earlier name) — issuer_processor_v2.py:185-216 (J3)."""
+    if text in drawer_dict:
+        return text, 1.0
+    best_match, best_score = None, 0.0
+    for drawer in drawer_dict:
+        if text in drawer:
+            similarity = len(text) / len(drawer)
+            if similarity > 0.6 and similarity > best_score:
+                best_match, best_score = drawer, similarity
+        elif drawer in text:
+            similarity = len(drawer) / len(text)
+            if similarity > 0.6 and similarity > best_score:
+                best_match, best_score = drawer, similarity
+        else:
+            similarity = difflib.SequenceMatcher(None, text, drawer).ratio()
+            if similarity > 0.7 and similarity > best_score:
+                best_match, best_score = drawer, similarity
+    return best_match, best_score
+
+
 def match_name_v3(text: str | None, drawer_dict: list[str],
                   cache: dict | None = None) -> str | None:
     if not text:

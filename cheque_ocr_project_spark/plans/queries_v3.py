@@ -480,6 +480,193 @@ FROM documents"""
 
 
 # ---------------------------------------------------------------------------
+# P2 (v2) + J3: clean_text v2 and containment-similarity join
+# ---------------------------------------------------------------------------
+
+def q_clean_text_v2(spark, sf_dir):
+    t = F.col("text")
+    s = F.upper(t)
+    s = F.translate(s, "01|568", "OIISGB")
+    s = F.regexp_replace(s, r"[^A-Z0-9 .,&/-]", " ")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    out = F.when(t.isNull() | (F.length(t) == 0), F.lit("XXX")).otherwise(s)
+    return _docs(spark, sf_dir).select("doc_id", out.alias("cleaned_v2"))
+
+
+def sql_clean_text_v2():
+    s = "translate(upper(text), '01|568', 'OIISGB')"
+    s = D.rr(s, r"[^A-Z0-9 .,&/-]", " ")
+    s = D.collapse_ws(s)
+    return (
+        f"SELECT doc_id, CASE WHEN text IS NULL OR length(text) = 0 "
+        f"THEN 'XXX' ELSE {s} END AS cleaned_v2 FROM documents"
+    )
+
+
+def q_containment_match(spark, sf_dir):
+    """J3 containment theta-join: candidate contained-in dictionary name (or
+    vice versa) with length ratio > 0.6, argmax per candidate (ties keep the
+    lexicographically-first dictionary name = sorted-dict iteration order)."""
+    docs = _docs(spark, sf_dir)
+    tok2 = F.upper(
+        F.array_join(F.slice(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), F.lit(0)), 1, 2), " ")
+    )
+    dim = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(tok2.alias("dict_name"))
+        .filter(F.length("dict_name") > 0)
+        .distinct()
+    )
+    cands = docs.select("doc_id", F.upper(F.substring("text", 1, 12)).alias("cand"))
+    j = cands.join(F.broadcast(dim))
+    ratio = F.when(
+        F.col("dict_name").contains(F.col("cand")),
+        F.length("cand") / F.length("dict_name"),
+    ).when(
+        F.col("cand").contains(F.col("dict_name")),
+        F.length("dict_name") / F.length("cand"),
+    )
+    j = j.withColumn("sim", F.round(ratio, 6)).filter(F.col("sim") > 0.6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sim").desc(), F.col("dict_name").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dict_name", "sim")
+    )
+
+
+def sql_containment_match():
+    return """
+WITH dim AS (
+  SELECT DISTINCT upper(array_to_string(regexp_extract_all(text, '[A-Za-z]+')[1:2], ' ')) AS dict_name
+  FROM documents WHERE doc_id % 5 = 0
+    AND length(array_to_string(regexp_extract_all(text, '[A-Za-z]+')[1:2], ' ')) > 0
+), cands AS (
+  SELECT doc_id, upper(text[1:12]) AS cand FROM documents
+), scored AS (
+  SELECT c.doc_id, d.dict_name,
+    round(CASE WHEN contains(d.dict_name, c.cand)
+               THEN length(c.cand) * 1.0 / length(d.dict_name)
+               WHEN contains(c.cand, d.dict_name)
+               THEN length(d.dict_name) * 1.0 / length(c.cand)
+          END, 6) AS sim
+  FROM cands c CROSS JOIN dim d
+)
+SELECT doc_id, dict_name, sim FROM scored WHERE sim > 0.6
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, dict_name ASC) = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Analytics over the star schema (general query capability)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary():
+    return """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def sql_revenue_by_nation():
+    return """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+def q_top_customers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+    )
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("c_custkey", "c_name", "total_spent", "rank")
+    )
+
+
+def sql_top_customers():
+    return """
+SELECT c_custkey, c_name, total_spent, rank FROM (
+  SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spent,
+         row_number() OVER (ORDER BY round(sum(o_totalprice), 2) DESC, c_custkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+) WHERE rank <= 10"""
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction, plain/pdf paths (SQL-expressible boilerplate ops)
+# ---------------------------------------------------------------------------
+
+def q_main_content_plain(spark, sf_dir):
+    from cheque_ocr_project_spark.plans.pipeline import _plain_main
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", _plain_main(F.col("text")).alias("main_text")
+    )
+
+
+def sql_main_content_plain():
+    line = "trim(regexp_replace(x, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT doc_id,
+  array_to_string(
+    list_filter(list_transform(string_split(text, chr(10)), x -> {line}),
+                x -> x <> ''), chr(10)) AS main_text
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -498,4 +685,10 @@ REGISTRY_V3: dict[str, tuple] = {
     "filename_fields": (q_filename_fields, sql_filename_fields),
     "line_confidence": (q_line_confidence, sql_line_confidence),
     "window_order": (q_window_order, sql_window_order),
+    "clean_text_v2": (q_clean_text_v2, sql_clean_text_v2),
+    "containment_match": (q_containment_match, sql_containment_match),
+    "pricing_summary": (q_pricing_summary, sql_pricing_summary),
+    "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation),
+    "top_customers": (q_top_customers, sql_top_customers),
+    "main_content_plain": (q_main_content_plain, sql_main_content_plain),
 }
