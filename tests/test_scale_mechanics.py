@@ -1,0 +1,43 @@
+"""Scale mechanics: salted skew distribution, model-UDF plumbing."""
+
+from pyspark.sql import functions as F
+
+from cheque_ocr_project_spark.operators import models as M
+from cheque_ocr_project_spark.plans import pipeline as P
+
+
+def test_salted_repartition_spreads_heavy_conversation(spark):
+    """A single 10k-turn conversation must not pin one task (north rule):
+    salting on turn_idx spreads it across the requested partitions."""
+    big = spark.range(10000).select(
+        F.lit("monster-conv").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("PAY TO : GUPTA TRADERS").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    parts = (
+        P.salted_repartition(big, num_partitions=16, salt_buckets=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in parts]
+    assert len(sizes) >= 8, f"heavy conv landed on only {len(sizes)} partitions"
+    assert max(sizes) < 10000 * 0.25, f"skewed partition: max={max(sizes)}"
+
+
+def test_ner_udf_plumbing(spark, transcripts_sdf):
+    out = M.ner_entities(spark, transcripts_sdf.limit(200))
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r.backend == "fake" for r in rows)  # transformers absent here
+    with_ents = [r for r in rows if r.entities]
+    assert with_ents, "fake NER found no entities in cheque-like turns"
+    e = with_ents[0].entities[0]
+    assert e.label in ("ORG", "PER") and 0 <= e.score <= 1
+    # deterministic across reruns
+    again = M.ner_entities(spark, transcripts_sdf.limit(200)).collect()
+    assert [r.entities for r in rows] == [r.entities for r in again]
