@@ -91,10 +91,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     registry = Q.queries()
 
-    # flagship extraction throughput
-    transcripts = replicated_transcripts(spark, SF_DIR, REPLICATION)
+    # flagship extraction throughput. The replicated input is materialized
+    # as a multi-file parquet first (untimed): a single-file source would
+    # feed all workers through one serial scan task — an artifact of the
+    # small testdata, not of the pipeline (real inputs have >> cores splits).
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="bench_transcripts_")
+    replicated_transcripts(spark, SF_DIR, REPLICATION).repartition(
+        CPUS
+    ).write.mode("overwrite").parquet(staged)
+    transcripts = spark.read.parquet(staged)
     n_turns = transcripts.count()
     dd = Q.default_drawer_dict()
+    # warmup pass (python workers + codegen), then the measured run
+    P.extract_pipeline(spark, transcripts, dd).write.format("noop").mode(
+        "overwrite"
+    ).save()
     t0 = time.perf_counter()
     out = P.extract_pipeline(spark, transcripts, dd)
     out.write.format("noop").mode("overwrite").save()
