@@ -102,10 +102,12 @@ def classify(ocr_text: str) -> dict:
         return _result(T_MANAGERS_CHEQUE, 0.95, "mc_standard",
                        ["Manager's Cheque - Local clearance only"])
 
-    for rx in _CROSSED_RES:
-        if rx.search(u):
-            return _result(T_CROSSED, 0.85, "account_payee",
-                           ["Crossed/Account Payee cheque detected"])
+    # literal prefilter (pure optimization; the regexes are authoritative)
+    if "PAYEE" in u or "CROSSED" in u or "NEGOTIABLE" in u:
+        for rx in _CROSSED_RES:
+            if rx.search(u):
+                return _result(T_CROSSED, 0.85, "account_payee",
+                               ["Crossed/Account Payee cheque detected"])
 
     if "SELF" in u and len(u.split()) < 15:
         return _result(T_SELF, 0.8, "self",

@@ -18,6 +18,13 @@ import re
 from cheque_ocr_project_spark.oracle import cleaning, predicates, vocab
 
 _PAYEE_RES = tuple(re.compile(p) for p in vocab.PAYEE_PATTERNS)
+# literal prefilters per pattern: a pattern can only match if one of its
+# anchor literals occurs in the (upper-cased) text — pure optimization, the
+# regex is authoritative; None = no guard (cheap anchored pattern)
+_PAYEE_GUARDS = (
+    ("PAY",), ("ORDER",), ("PAY",), ("BEARER",), ("BEARER",),
+    ("FAVOUR",), ("FAVOR",), ("BENEFICIARY",), ("RUPEES", "RS"), None,
+)
 _DATE_RE = re.compile(r"Date:\s*(\d{2})[./](\d{2})[./](\d{4})")
 _AMOUNT_RE = re.compile(r"[₹Rs\.]*\s*([\d,]+(?:\.\d{2})?)[/\-]?")
 _ACCOUNT_RE = re.compile(r"A/C No\.?[\s:]*(\d{10,20})")
@@ -35,7 +42,9 @@ def extract_payee(text: str | None) -> str | None:
     if not text:
         return None
     u = text.upper()
-    for rx in _PAYEE_RES:
+    for rx, guard in zip(_PAYEE_RES, _PAYEE_GUARDS):
+        if guard is not None and not any(g in u for g in guard):
+            continue
         m = rx.search(u)
         if m:
             candidate = m.group(1).strip()

@@ -22,6 +22,11 @@ _ALPHA = re.compile(r"[A-Za-z]")
 _DIGIT = re.compile(r"[0-9]")
 _OIZ_RUN = re.compile(r"O{4,}|I{4,}|Z{4,}")
 _GARBAGE_RES = tuple(re.compile(p) for p in vocab.GARBAGE_PATTERNS)
+# any(rx.match(t) for rx in _GARBAGE_RES) as ONE anchored alternation
+# (re.match == anchored-at-start for every pattern in the list)
+_GARBAGE_COMBINED = re.compile(
+    "^(?:" + "|".join(f"(?:{p})" for p in vocab.GARBAGE_PATTERNS) + ")"
+)
 _SHORT_CAPS = re.compile(r"^[A-Z]{2,4}$")
 _JUNK_RES_V3 = tuple(re.compile(p, re.IGNORECASE) for p in vocab.JUNK_PATTERNS_V3)
 
@@ -37,7 +42,7 @@ def is_garbage(text: str | None) -> bool:
         return True
     if _OIZ_RUN.search(text):
         return True
-    return any(rx.match(text) for rx in _GARBAGE_RES)
+    return _GARBAGE_COMBINED.match(text) is not None
 
 
 def is_junk_v1(text: str | None) -> bool:
