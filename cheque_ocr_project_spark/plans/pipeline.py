@@ -23,7 +23,6 @@ candidate vocabulary (tiny relative to lines).
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F

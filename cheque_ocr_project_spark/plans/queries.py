@@ -14,7 +14,6 @@ tests/test_pipeline_equality.py).
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
