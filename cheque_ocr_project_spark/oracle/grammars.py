@@ -155,6 +155,56 @@ def extract_issuer_simple(text: str | None) -> str:
     return "UNKNOWN"
 
 
+_FAST_PAYEE_RES = tuple(re.compile(p) for p in vocab.FAST_PAYEE_PATTERNS)
+_FAST_ISSUER_RES = tuple(re.compile(p) for p in vocab.FAST_ISSUER_PATTERNS)
+
+
+def clean_name_fast(name: str | None) -> str:
+    """fast_ai_processor.py:146-161: contains-gated replace chain, punct to
+    space, collapse, title-case, UNKNOWN under 3 chars."""
+    if not name:
+        return "UNKNOWN"
+    u = name.upper()
+    for wrong, right in vocab.FAST_SPELLING_CORRECTIONS:
+        if wrong in u:
+            u = u.replace(wrong, right)
+    u = re.sub(r"[^\w\s]", " ", u)
+    u = " ".join(u.split())
+    return u.title() if len(u) >= 3 else "UNKNOWN"
+
+
+def extract_fast_patterns(text: str) -> dict:
+    """fast_ai_processor.py:108-143: first-match payee + issuer patterns,
+    both cleaned via clean_name_fast; fixed 0.6 confidence."""
+    u = (text or "").upper()
+    result = {"payee": None, "issuer": None, "confidence": 0.6}
+    for rx in _FAST_PAYEE_RES:
+        m = rx.search(u)
+        if m:
+            result["payee"] = clean_name_fast(m.group(1))
+            break
+    for rx in _FAST_ISSUER_RES:
+        m = rx.search(u)
+        if m:
+            result["issuer"] = clean_name_fast(m.group(1))
+            break
+    return result
+
+
+def extract_for_first3(text: str | None) -> str:
+    """extract_issuer.py:37-43: naive grammar — first 3 whitespace tokens of
+    the segment between the first and second 'FOR'."""
+    if not text:
+        return "UNKNOWN"
+    u = text.upper()
+    if "FOR" not in u:
+        return "UNKNOWN"
+    parts = u.split("FOR")
+    if len(parts) <= 1:
+        return "UNKNOWN"
+    return " ".join(parts[1].strip().split()[0:3])
+
+
 def extract_payee_section(text: str) -> str | None:
     """Substring (<=200 chars) after the first payee indicator."""
     for indicator in vocab.PAYEE_SECTION_INDICATORS:

@@ -492,6 +492,37 @@ SIMPLE_IGNORE_WORDS = frozenset({
 })
 SIMPLE_FOR_DELIMITERS = ("AUTHORISED", "SIGN", "ACCOUNT", "A/C", "\n")
 
+# --- fast_ai_processor.py:52-67 (its own, DIFFERENT map: note
+# FASTNERS->FASTENERS here vs FASTNERS->FASTNERS in dbf_processor) ---------
+FAST_SPELLING_CORRECTIONS = (
+    ("STEELNDUSTRIES", "STEEL INDUSTRIES"),
+    ("STEELHDUSTRIES", "STEEL INDUSTRIES"),
+    ("STEELINDUSTRIES", "STEEL INDUSTRIES"),
+    ("ENTENPES", "ENTERPRISES"),
+    ("ENTSEPS", "ENTERPRISES"),
+    ("ENTERPRISESS", "ENTERPRISES"),
+    ("CURUGRAM", "GURUGRAM"),
+    ("GURGAON", "GURUGRAM"),
+    ("APRLIANGES", "APPLIANCES"),
+    ("DEVAPRLIANGES", "DEV APPLIANCES"),
+    ("FASTNERS", "FASTENERS"),
+    ("KISPA", "KIXPA"),
+    ("ROHIN", "ROHIT"),
+    ("POLYPLAST", "POLYPLAST PVT LTD"),
+)
+
+# --- fast_ai_processor.py:119-137 (fast pattern extractor, in order) -------
+FAST_PAYEE_PATTERNS = (
+    r"PAY\s+([A-Z][A-Z\s\.]{3,50}?)(?:\s+OR|\s+$|\n)",
+    r"ORDER\s+OF\s+([A-Z][A-Z\s\.]{3,50}?)(?:\s+OR|\s+$|\n)",
+    r"BENEFICIARY\s+([A-Z][A-Z\s\.]{3,50}?)(?:\s+$|\n)",
+)
+FAST_ISSUER_PATTERNS = (
+    r"FOR\s+([A-Z][A-Z\s\.]{3,50}?)(?:\s+AUTH|\s+SIGN|\s+$)",
+    r"([A-Z][A-Z\s\.]{5,50}?)\s+AUTHORISED\s+SIGNATORY",
+    r"([A-Z][A-Z\s\.]{5,50}?)\s+SIGNATURE",
+)
+
 # Fixed output constants — issuer_processor_v.py:58-61
 FIXED_OPR_NO = "AS601"
 FIXED_FILE_MARK = False

@@ -561,6 +561,87 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, dict_name ASC)
 
 
 # ---------------------------------------------------------------------------
+# fast_ai_processor.py pattern extractor + extract_issuer.py naive grammar
+# (UPPER form for the DuckDB oracle — no initcap there)
+# ---------------------------------------------------------------------------
+
+def _clean_name_fast_col(cand: Column) -> Column:
+    u = F.upper(cand)
+    for wrong, right in vocab.FAST_SPELLING_CORRECTIONS:
+        u = F.replace(u, F.lit(wrong), F.lit(right))
+    u = F.trim(F.regexp_replace(F.regexp_replace(u, r"[^\w\s]", " "), r"\s+", " "))
+    return F.when(F.length(u) >= 3, u).otherwise(F.lit("UNKNOWN"))
+
+
+def _clean_name_fast_sql(cand: str) -> str:
+    s = D.chain_replace_sql(f"upper({cand})", vocab.FAST_SPELLING_CORRECTIONS)
+    s = D.collapse_ws(D.rr(s, r"[^\w\s]", " "))
+    return f"CASE WHEN length({s}) >= 3 THEN {s} ELSE 'UNKNOWN' END"
+
+
+def q_fast_pattern_extract(spark, sf_dir):
+    u = F.upper(F.col("text"))
+
+    def first(patterns):
+        chain = None
+        for p in patterns:
+            hit = F.when(
+                u.rlike(p), _clean_name_fast_col(F.regexp_extract(u, p, 1))
+            )
+            chain = hit if chain is None else chain.when(
+                u.rlike(p), _clean_name_fast_col(F.regexp_extract(u, p, 1))
+            )
+        return chain.otherwise(F.lit(None).cast("string"))
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        first(vocab.FAST_PAYEE_PATTERNS).alias("fast_payee"),
+        first(vocab.FAST_ISSUER_PATTERNS).alias("fast_issuer"),
+    )
+
+
+def sql_fast_pattern_extract():
+    u = "upper(text)"
+
+    def first(patterns):
+        whens = " ".join(
+            f"WHEN regexp_matches({u}, {D.rx(p)}) "
+            f"THEN {_clean_name_fast_sql(f'regexp_extract({u}, {D.rx(p)}, 1)')}"
+            for p in patterns
+        )
+        return f"CASE {whens} ELSE NULL END"
+
+    return f"""
+SELECT doc_id,
+  {first(vocab.FAST_PAYEE_PATTERNS)} AS fast_payee,
+  {first(vocab.FAST_ISSUER_PATTERNS)} AS fast_issuer
+FROM documents"""
+
+
+def q_for_first3(spark, sf_dir):
+    u = F.upper(F.col("text"))
+    seg = F.trim(F.element_at(F.split(u, "FOR"), 2))
+    first3 = F.array_join(
+        F.slice(F.regexp_extract_all(seg, F.lit(r"\S+"), F.lit(0)), 1, 3), " "
+    )
+    out = F.when(
+        u.contains("FOR") & (F.size(F.split(u, "FOR")) > 1), first3
+    ).otherwise(F.lit("UNKNOWN"))
+    return _docs(spark, sf_dir).select("doc_id", out.alias("for_first3"))
+
+
+def sql_for_first3():
+    u = "upper(text)"
+    seg = f"trim(string_split({u}, 'FOR')[2])"
+    first3 = f"array_to_string(regexp_extract_all({seg}, '\\S+')[1:3], ' ')"
+    return f"""
+SELECT doc_id,
+  CASE WHEN contains({u}, 'FOR') AND len(string_split({u}, 'FOR')) > 1
+       THEN {first3} ELSE 'UNKNOWN' END AS for_first3
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
 # Analytics over the star schema (general query capability)
 # ---------------------------------------------------------------------------
 
@@ -691,4 +772,6 @@ REGISTRY_V3: dict[str, tuple] = {
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation),
     "top_customers": (q_top_customers, sql_top_customers),
     "main_content_plain": (q_main_content_plain, sql_main_content_plain),
+    "fast_pattern_extract": (q_fast_pattern_extract, sql_fast_pattern_extract),
+    "for_first3": (q_for_first3, sql_for_first3),
 }

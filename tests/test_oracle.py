@@ -223,3 +223,25 @@ class TestIssuerPath:
         best, _conf, _s = issuer.extract_issuer_v1(
             [(t, c) for t, c in lines], [])
         assert best in ("GUPTA TRADERS", "RAJESH KUMAR")
+
+
+class TestFastExtractor:
+    def test_fast_patterns(self):
+        r = grammars.extract_fast_patterns(
+            "PAY GUPTA TRADERS OR BEARER FOR SHARMA FASTNERS AUTH SIGN"
+        )
+        assert r["payee"] == "Gupta Traders"
+        # fast map differs from dbf_processor: FASTNERS -> FASTENERS here
+        assert r["issuer"] == "Sharma Fasteners"
+        assert r["confidence"] == 0.6
+
+    def test_fast_clean_gurgaon(self):
+        assert grammars.clean_name_fast("GURGAON DEPOT") == "Gurugram Depot"
+        assert grammars.clean_name_fast("ab") == "UNKNOWN"
+
+    def test_for_first3(self):
+        # segment between the FIRST and SECOND 'FOR', first 3 tokens
+        assert grammars.extract_for_first3(
+            "PAY X FOR ACME STEEL WORKS LTD FOR MORE"
+        ) == "ACME STEEL WORKS"
+        assert grammars.extract_for_first3("no marker here") == "UNKNOWN"
