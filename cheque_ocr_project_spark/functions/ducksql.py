@@ -103,9 +103,14 @@ def chain_regex_strip_sql(expr: str, patterns, flags: str = "gi") -> str:
     return s
 
 
+def pystrip_sql(expr: str) -> str:
+    """Python str.strip(): ALL whitespace (DuckDB trim strips spaces only)."""
+    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+
+
 def clean_payee_sql(col: str) -> str:
     """= oracle.cleaning.clean_payee rendered for DuckDB."""
-    s = f"trim(upper({col}))"
+    s = pystrip_sql(f"upper({col})")
     s = chain_regex_strip_sql(s, vocab.TITLE_PATTERNS)
     s = chain_replace_sql(s, vocab.SPECIAL_CHAR_MAP)
     s = chain_regex_strip_sql(s, vocab.COMPANY_SUFFIX_PATTERNS)

@@ -33,6 +33,11 @@ def build_args(argv=None):
     ap.add_argument("--engine", choices=["arrow", "native"], default="arrow")
     ap.add_argument("--resume", action="store_true",
                     help="skip buckets already committed to the manifest")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow a fresh run to delete an existing manifest "
+                         "(without it, a fresh run into a populated output "
+                         "directory fails instead of silently destroying "
+                         "resume state)")
     ap.add_argument("--limit", type=int, default=None)
     return ap.parse_args(argv)
 
@@ -68,12 +73,20 @@ def main(argv=None) -> None:
         drawer_dict = default_drawer_dict()
 
     if not args.resume:
-        # fresh run: ignore (but do not delete) any previous manifest
+        # Fresh run: a previous manifest is resume state. Destroying it must
+        # be explicit (--overwrite); otherwise fail loudly so an operator
+        # cannot lose a multi-hour run's progress with a forgotten flag.
         import shutil
+        import sys
         from pathlib import Path
 
         manifest = Path(args.output) / "_manifest"
         if manifest.exists():
+            if not args.overwrite:
+                sys.exit(
+                    f"output {args.output} already has a checkpoint manifest; "
+                    "pass --resume to continue it or --overwrite to discard it"
+                )
             shutil.rmtree(manifest)
 
     stats = checkpoint.run_with_checkpoint(

@@ -141,11 +141,16 @@ def extract_turns_udf(spark: SparkSession, transcripts: DataFrame,
 def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     """CPU-bound stage: make sure there are at least as many tasks as cores.
     (A single small parquet file otherwise pins the whole extraction on 1-2
-    tasks.) At real scale input splits >> cores, so this is a no-op."""
+    tasks.) Decided from file-source metadata only — no RDD conversion: at
+    real scale input files >> cores and this is a pure no-op."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 V3_SCHEMA = T.StructType([

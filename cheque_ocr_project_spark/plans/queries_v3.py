@@ -580,7 +580,10 @@ def _clean_name_fast_sql(cand: str) -> str:
 
 
 def q_fast_pattern_extract(spark, sf_dir):
-    u = F.upper(F.col("text"))
+    # Trailing newlines stripped on both sides: Java '$' matches before a
+    # final line terminator, RE2 '$' does not (latent dialect divergence in
+    # the '\s+$' alternations of the FAST_* patterns).
+    u = F.regexp_replace(F.upper(F.col("text")), r"[\n\r]+$", "")
 
     def first(patterns):
         chain = None
@@ -601,7 +604,7 @@ def q_fast_pattern_extract(spark, sf_dir):
 
 
 def sql_fast_pattern_extract():
-    u = "upper(text)"
+    u = "regexp_replace(upper(text), '[\\n\\r]+$', '')"
 
     def first(patterns):
         whens = " ".join(
