@@ -4,23 +4,35 @@ Four families, each designed for the 100 TB shape:
 
 - ``exact``        — hash-groupBy on a normalized fingerprint (1 shuffle)
 - ``minhash_lsh``  — shingle → vectorized MinHash signature (Arrow UDF,
-  numpy broadcasting) → band → bucket self-join → signature-estimated
-  Jaccard. Only same-band rows ever meet in the join, so the candidate set
-  is tiny relative to the n² cross space.
-- ``simhash``      — 64-bit SimHash, banded by 16-bit chunks (pigeonhole:
+  numpy over the whole batch) → band → bucket self-join → signature-
+  estimated Jaccard. Only same-band rows ever meet in the join, so the
+  candidate set is tiny relative to the n² cross space.
+- ``simhash``      — 62-bit SimHash, banded by 16-bit chunks (pigeonhole:
   any pair within Hamming distance 3 shares at least one of 4 chunks) →
   exact Hamming verify.
 - ``ngram_jaccard``— exact char-n-gram Jaccard as a native expression
   (array_intersect/array_union), used standalone on bounded candidate sets
   or as the verifier behind the LSH candidates.
 
-All randomness is seeded/deterministic (fixed permutation constants) so
-results are reproducible run-to-run and resumable.
+Hash spec (shared with the DuckDB oracle SQL in plans/dedup_sql.py — every
+step is exact 64-bit integer arithmetic, so numpy and DuckDB compute
+bit-identical signatures):
+
+- ``polyhash(s, init)`` = fold over unicode codepoints:
+  ``acc = (acc*31 + code) mod P`` with ``P = 2^31 - 1``
+- MinHash: shingle hash = polyhash(k-gram, 7); permutation j is
+  ``(a_j * h + b_j) mod P`` with seeded constants ``1 <= a_j < P``,
+  ``0 <= b_j < P``; texts shorter than k hash the whole text as the single
+  shingle. Products stay < 2^62 (no overflow in either engine).
+- SimHash: token hash = ``polyhash(tok,7) * 2^31 + polyhash(tok,11)``
+  (62 usable bits); bit j of the signature is set iff the majority of
+  tokens have bit j set. Signatures are non-negative (< 2^62).
+
+All randomness is seeded/deterministic so results are reproducible
+run-to-run, resumable, and recomputable by the correctness oracle.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -28,25 +40,73 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-MERSENNE_P = (1 << 61) - 1
+POLY_P = (1 << 31) - 1       # 2147483647, Mersenne prime
+POLY_MULT = 31
+SIMHASH_BITS = 62            # h1*2^31 + h2 < 2^62 — never negative in int64
+DEFAULT_SEED = 13
 
 
-def _perm_constants(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+def perm_constants(num_perm: int, seed: int = DEFAULT_SEED
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) constants < P for the MinHash permutations; the DuckDB
+    oracle renders these same literals (plans/dedup_sql.py)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, POLY_P, size=num_perm).astype(np.int64)
+    b = rng.randint(0, POLY_P, size=num_perm).astype(np.int64)
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    if not text or len(text) < k:
-        data = [text or ""]
-    else:
-        data = {text[i : i + k] for i in range(len(text) - k + 1)}
-    return np.fromiter(
-        (zlib.crc32(s.encode("utf-8", "ignore")) for s in data),
-        dtype=np.uint64, count=len(data),
-    )
+def _codepoints(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+def polyhash(text: str, init: int = 7) -> int:
+    """Reference scalar implementation (tests + short-text fallback)."""
+    acc = init
+    for c in text:
+        acc = (acc * POLY_MULT + ord(c)) % POLY_P
+    return acc
+
+
+def _batch_shingle_hashes(texts: list[str], k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """All shingle hashes for a batch, fully vectorized across rows.
+
+    Returns (hashes, row_lengths) where ``hashes`` concatenates each row's
+    shingle hashes and ``row_lengths[i]`` is row i's shingle count (>= 1:
+    rows shorter than k contribute one whole-text hash)."""
+    texts = [(t if isinstance(t, str) else "") for t in texts]
+    joined = "".join(texts)
+    codes = _codepoints(joined)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+    long_mask = lens >= k
+    n_shingles = np.where(long_mask, lens - k + 1, 0)
+    starts = np.repeat(offsets[long_mask], n_shingles[long_mask])
+    within = np.concatenate(
+        [np.arange(n) for n in n_shingles[long_mask]]
+    ) if long_mask.any() else np.empty(0, dtype=np.int64)
+    pos = starts + within
+    acc = np.full(pos.shape, 7, dtype=np.int64)
+    for j in range(k):
+        acc = (acc * POLY_MULT + codes[pos + j]) % POLY_P
+
+    # short rows: one whole-text shingle each (rare; scalar fallback)
+    short_hashes = {
+        i: polyhash(texts[i]) for i in np.nonzero(~long_mask)[0]
+    }
+    if not short_hashes:
+        return acc, n_shingles
+    out_lens = np.where(long_mask, n_shingles, 1)
+    pieces, cursor = [], 0
+    for i, t in enumerate(texts):
+        if long_mask[i]:
+            pieces.append(acc[cursor:cursor + n_shingles[i]])
+            cursor += n_shingles[i]
+        else:
+            pieces.append(np.array([short_hashes[i]], dtype=np.int64))
+    return np.concatenate(pieces), out_lens
 
 
 def normalize_text(col: Column) -> Column:
@@ -66,9 +126,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, shingle_k: int = 5,
-                       seed: int = 13) -> DataFrame:
-    """id → array<long> MinHash signature (vectorized per Arrow batch)."""
-    a, b = _perm_constants(num_perm, seed)
+                       seed: int = DEFAULT_SEED) -> DataFrame:
+    """id → array<long> MinHash signature (numpy over the whole batch)."""
+    a, b = perm_constants(num_perm, seed)
 
     schema = T.StructType([
         T.StructField("id", T.LongType()),
@@ -77,14 +137,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     def batches(pdf_iter):
         for pdf in pdf_iter:
-            ids, sigs = [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                h = _shingle_hashes(text, shingle_k)
-                # (num_perm, n_shingles) broadcast, min over shingles
-                vals = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE_P
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-                ids.append(i)
-            yield pd.DataFrame({"id": ids, "sig": sigs})
+            texts = list(pdf[text_col])
+            hashes, row_lens = _batch_shingle_hashes(texts, shingle_k)
+            seg = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+            sig = np.empty((num_perm, len(texts)), dtype=np.int64)
+            for j in range(num_perm):  # 1 full-vector pass + segmented min
+                vals = (a[j] * hashes + b[j]) % POLY_P
+                sig[j] = np.minimum.reduceat(vals, seg)
+            yield pd.DataFrame({
+                "id": pdf[id_col].values,
+                "sig": list(sig.T),
+            })
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         batches, schema=schema
@@ -94,7 +157,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, threshold: float = 0.7,
-                      seed: int = 13) -> DataFrame:
+                      seed: int = DEFAULT_SEED) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     est_jaccard = fraction of equal MinHash values across the full
@@ -104,7 +167,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
-    sigs = sigs.withColumn("sig", F.col("sig"))
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("id", "sig", band_idx).withColumn(
@@ -145,60 +207,90 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       bits: int = 64) -> DataFrame:
-    """id → 64-bit SimHash over whitespace tokens (vectorized)."""
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """id → 62-bit SimHash over whitespace tokens (numpy over the batch)."""
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("simhash", T.LongType()),
     ])
 
     def batches(pdf_iter):
-        weights = np.arange(bits, dtype=np.uint64)
+        bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        bit_weights = (np.uint64(1) << bit_idx).astype(np.int64)
         for pdf in pdf_iter:
-            ids, hashes = [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                tokens = (text or "").upper().split()
-                if not tokens:
-                    ids.append(i)
-                    hashes.append(0)
-                    continue
-                th = np.fromiter(
-                    (zlib.crc32(t.encode("utf-8", "ignore")) for t in tokens),
-                    dtype=np.uint64, count=len(tokens),
+            row_tokens = [
+                (t if isinstance(t, str) else "").upper().split()
+                for t in pdf[text_col]
+            ]
+            counts = np.fromiter(
+                (len(ts) for ts in row_tokens), dtype=np.int64,
+                count=len(row_tokens),
+            )
+            flat = [tok for ts in row_tokens for tok in ts]
+            if flat:
+                tok_lens = np.fromiter(
+                    (len(t) for t in flat), dtype=np.int64, count=len(flat)
                 )
-                # widen crc32 to 64 deterministic bits
-                th = th * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
-                bitmat = (th[:, None] >> weights[None, :]) & np.uint64(1)
-                # signed arithmetic: uint64 would wrap on negative votes
-                votes = bitmat.sum(axis=0).astype(np.int64) * 2 - len(tokens)
-                sim = 0
-                for j in range(bits):
-                    if votes[j] > 0:
-                        sim |= 1 << j
-                ids.append(i)
-                hashes.append(sim - (1 << bits) if sim >= (1 << (bits - 1)) else sim)
-            yield pd.DataFrame({"id": ids, "simhash": hashes})
+                codes = _codepoints("".join(flat))
+                offs = np.concatenate(([0], np.cumsum(tok_lens)[:-1]))
+                h1 = np.full(len(flat), 7, dtype=np.int64)
+                h2 = np.full(len(flat), 11, dtype=np.int64)
+                for j in range(int(tok_lens.max())):  # masked polyhash step
+                    live = tok_lens > j
+                    c = codes[offs[live] + j]
+                    h1[live] = (h1[live] * POLY_MULT + c) % POLY_P
+                    h2[live] = (h2[live] * POLY_MULT + c) % POLY_P
+                h64 = (h1 << np.int64(31)) + h2
+                bits = ((h64[:, None].astype(np.uint64) >> bit_idx[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                # segmented sum; empty rows occupy no token rows, so the
+                # nonzero rows' segments stay contiguous and reduceat over
+                # their start offsets is exact
+                nz = counts > 0
+                ones = np.zeros((len(row_tokens), SIMHASH_BITS), dtype=np.int64)
+                if nz.any():
+                    ones[nz] = np.add.reduceat(bits, seg[nz], axis=0)
+                # majority vote: 2*ones > n_tokens  (empty rows stay all-zero)
+                majority = (2 * ones) > counts[:, None]
+                sims = (majority * bit_weights[None, :]).sum(axis=1)
+            else:
+                sims = np.zeros(len(row_tokens), dtype=np.int64)
+            yield pd.DataFrame({"id": pdf[id_col].values, "simhash": sims})
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         batches, schema=schema
     )
 
 
+def simhash_chunking(max_hamming: int) -> tuple[int, int]:
+    """(n_chunks, chunk_width_bits) for the pigeonhole banding: chunks must
+    cover all SIMHASH_BITS and outnumber the allowed bit flips."""
+    assert max_hamming >= 0
+    n_chunks = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_chunks)  # ceil
+    return n_chunks, width
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Banding by four 16-bit chunks: any pair within distance 3 agrees on at
-    least one chunk (pigeonhole), so the join only meets same-chunk rows."""
+    Banding by bit chunks: ``n_chunks = max_hamming + 1`` chunks of
+    ``ceil(62 / n_chunks)`` bits cover the signature, so any pair within
+    the distance bound agrees on at least one whole chunk (pigeonhole) and
+    the join only meets same-chunk rows. The chunk width is DERIVED from
+    max_hamming — the recall guarantee can never silently break."""
+    n_chunks, width = simhash_chunking(max_hamming)
+    mask = (1 << width) - 1
     sigs = simhash_signatures(df, id_col, text_col)
-    chunk = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk")
+    chunk = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk")
     banded = sigs.select("id", "simhash", chunk).withColumn(
         "chunk_key",
         F.concat_ws(
             ":",
             F.col("chunk"),
-            F.expr("shiftrightunsigned(simhash, chunk * 16) & 65535"),
+            F.expr(f"shiftrightunsigned(simhash, chunk * {width}) & {mask}"),
         ),
     )
     left = banded.select("chunk_key", F.col("id").alias("id_a"),

@@ -1,0 +1,140 @@
+"""DuckDB oracle SQL for the LSH dedup operators.
+
+Renders the exact hash spec of ``operators/dedup.py`` (31-bit polynomial
+rolling hash, seeded permutation constants, banding, majority-vote SimHash)
+as pure DuckDB SQL, so the driver can recompute MinHash/SimHash pair sets
+bit-for-bit. Every arithmetic step is 64-bit-integer exact in both engines;
+the permutation constants are rendered from the same
+``dedup.perm_constants`` arrays the Spark side broadcasts (single source of
+truth)."""
+
+from __future__ import annotations
+
+from cheque_ocr_project_spark.operators import dedup as DD
+
+P = DD.POLY_P
+
+
+def poly_sql(expr: str, init: int) -> str:
+    """polyhash(expr, init) as a DuckDB list_reduce over codepoints."""
+    codes = (
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(unicode({expr}[i:i]) AS BIGINT))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST({init} AS BIGINT), {codes}), "
+        f"(acc, c) -> (acc * 31 + c) % {P})"
+    )
+
+
+# documents ∪ deterministic near-duplicate copies — must mirror
+# plans.queries._docs_with_near_dups exactly (split on single space, keep
+# token 1, drop tokens 2-4, ids offset by 1,000,000).
+DOCS_WITH_NEAR_DUPS_CTE = """
+dups AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           list_concat(string_split(text, ' ')[1:1],
+                       string_split(text, ' ')[5:]), ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM dups
+)"""
+
+
+def sql_minhash_near_dup(num_perm: int = 64, bands: int = 16,
+                         shingle_k: int = 5, threshold: float = 0.5,
+                         seed: int = DD.DEFAULT_SEED) -> str:
+    a, b = DD.perm_constants(num_perm, seed)
+    rpb = num_perm // bands
+    k = shingle_k
+    shingles = (
+        f"CASE WHEN length(text) < {k} THEN [text] "
+        f"ELSE list_transform(range(1, length(text) - {k - 2}), "
+        f"i -> text[i:i+{k - 1}]) END"
+    )
+    mins = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> ({int(a[j])} * h + {int(b[j])}) % {P}))"
+        for j in range(num_perm)
+    )
+    return f"""
+WITH {DOCS_WITH_NEAR_DUPS_CTE},
+hashed AS (
+  SELECT doc_id,
+         list_transform({shingles}, sh -> {poly_sql('sh', 7)}) AS hs
+  FROM docs
+),
+sigs AS (
+  SELECT doc_id, [
+    {mins}
+  ] AS sig FROM hashed
+),
+banded AS (
+  SELECT doc_id, sig, unnest(range(0, {bands})) AS band FROM sigs
+),
+keyed AS (
+  SELECT doc_id, sig, band,
+         list_slice(sig, band * {rpb} + 1, band * {rpb} + {rpb}) AS bandval
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.sig AS sig_a, r.sig AS sig_b
+  FROM keyed l JOIN keyed r
+    ON l.band = r.band AND l.bandval = r.bandval AND l.doc_id < r.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         len(list_filter(range(1, {num_perm + 1}), i -> sig_a[i] = sig_b[i]))
+           * 1.0 / {num_perm} AS est
+  FROM cand
+)
+SELECT id_a, id_b, round(est, 6) AS est_jaccard
+FROM est WHERE est >= {threshold}"""
+
+
+def sql_simhash_near_dup(max_hamming: int = 3) -> str:
+    n_chunks, width = DD.simhash_chunking(max_hamming)
+    mask = (1 << width) - 1
+    tok_h64 = (
+        f"{poly_sql('t', 7)} * {1 << 31} + {poly_sql('t', 11)}"
+    )
+    return f"""
+WITH {DOCS_WITH_NEAR_DUPS_CTE},
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(upper(text), '\\s+'), t -> t <> '') AS toks
+  FROM docs
+),
+th AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, t -> {tok_h64}) AS hs
+  FROM toks
+),
+sims AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+    ELSE CAST(list_sum(list_transform(range(0, {DD.SIMHASH_BITS}), j ->
+      CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > n
+           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+    END AS simhash
+  FROM th
+),
+chunked AS (
+  SELECT doc_id, simhash, unnest(range(0, {n_chunks})) AS chunk FROM sims
+),
+keyed AS (
+  SELECT doc_id, simhash, chunk,
+         (simhash >> (chunk * {width})) & {mask} AS ck
+  FROM chunked
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.simhash AS sa, r.simhash AS sb
+  FROM keyed l JOIN keyed r
+    ON l.chunk = r.chunk AND l.ck = r.ck AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""

@@ -697,6 +697,20 @@ def q_simhash_near_dup(spark, sf_dir):
     return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def _sql_minhash_near_dup():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    return dedup_sql.sql_minhash_near_dup(
+        num_perm=64, bands=16, shingle_k=5, threshold=0.5
+    )
+
+
+def _sql_simhash_near_dup():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    return dedup_sql.sql_simhash_near_dup(max_hamming=3)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from cheque_ocr_project_spark.operators import dedup as DD
 
@@ -906,8 +920,8 @@ REGISTRY: dict[str, tuple] = {
     "last_tokens": (q_last_tokens, sql_last_tokens),
     "lev_match": (q_lev_match, sql_lev_match),
     "ann_topk": (q_ann_topk, sql_ann_topk),
-    "minhash_near_dup": (q_minhash_near_dup, None),
-    "simhash_near_dup": (q_simhash_near_dup, None),
+    "minhash_near_dup": (q_minhash_near_dup, _sql_minhash_near_dup),
+    "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, None),
