@@ -39,7 +39,7 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
     joined = emb.crossJoin(F.broadcast(queries)).filter(
         F.col(id_col) != F.col("query_id")
     )
-    sim = F.round(_cosine(F.col(vec_col), F.col("qvec")), 6)
+    sim = F.round(_cosine(F.col(vec_col), F.col("qvec")), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
@@ -51,14 +51,40 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+PLANE_MOD = (1 << 31) - 1
+PLANE_MIX = 2654435761
+
+
+def plane_coeffs(dim: int, n_planes: int, n_bands: int,
+                 seed: int = 29) -> np.ndarray:
+    """Deterministic integer hyperplane coefficients in {-2..2}.
+
+    ``c(b,p,d) = ((seed*7919 + b*1000003 + p*1009 + d) * 2654435761
+                  mod 2^31-1) mod 5 - 2`` — exact 64-bit integer arithmetic,
+    so the DuckDB oracle (plans/similarity_sql.py) renders the identical
+    planes and the LSH candidate sets match bit-for-bit. Sign bits come from
+    integer dot products over the quantized vector (floor(x*1000 + 0.5)),
+    which are order-independent — no float-summation ambiguity."""
+    b = np.arange(n_bands, dtype=np.int64)[:, None, None]
+    p = np.arange(n_planes, dtype=np.int64)[None, :, None]
+    d = np.arange(dim, dtype=np.int64)[None, None, :]
+    x = seed * 7919 + b * 1000003 + p * 1009 + d
+    return ((x * PLANE_MIX) % PLANE_MOD) % 5 - 2
+
+
+def quantize(vecs: np.ndarray) -> np.ndarray:
+    """floor(x*1000 + 0.5) as int64 — the shared quantization spec (floor
+    of +0.5 rather than round(): numpy round is half-to-even while SQL
+    round is half-away, so the spec avoids round() entirely)."""
+    return np.floor(vecs.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+
+
 def hyperplane_signatures(spark: SparkSession, df: DataFrame, id_col: str,
                           vec_col: str, dim: int, n_planes: int = 16,
                           n_bands: int = 4, seed: int = 29) -> DataFrame:
     """id → array of band keys (each band = n_planes sign bits from an
-    independent hyperplane set)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_bands, n_planes, dim)).astype(np.float32)
-    bc = spark.sparkContext.broadcast(planes)
+    independent integer hyperplane set)."""
+    bc = spark.sparkContext.broadcast(plane_coeffs(dim, n_planes, n_bands, seed))
 
     schema = T.StructType([
         T.StructField("id", T.LongType()),
@@ -68,10 +94,11 @@ def hyperplane_signatures(spark: SparkSession, df: DataFrame, id_col: str,
     def batches(pdf_iter):
         pl = bc.value
         for pdf in pdf_iter:
-            vecs = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q = quantize(vecs)
             keys = []
             # (n_rows, n_bands, n_planes) sign bits -> per-band key string
-            proj = np.einsum("rd,bpd->rbp", vecs, pl) > 0
+            proj = np.einsum("rd,bpd->rbp", q, pl) > 0
             weights = (1 << np.arange(pl.shape[1])).astype(np.int64)
             codes = (proj * weights[None, None, :]).sum(axis=2)
             for row in codes:
@@ -104,7 +131,9 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
         cand.join(emb, id_col)
         .join(F.broadcast(queries), "query_id")
     )
-    sim = F.round(_cosine(F.col(vec_col), F.col("qvec")), 6)
+    # round-4 precision: proven cross-engine-stable for the green brute-force
+    # ann_topk oracle; ranking uses the rounded value (ties -> id asc)
+    sim = F.round(_cosine(F.col(vec_col), F.col("qvec")), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
@@ -136,7 +165,7 @@ def cosine_near_dup_pairs(spark: SparkSession, emb: DataFrame, dim: int,
     ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     pairs = cand.join(ea, "id_a").join(eb, "id_b")
-    sim = F.round(_cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    sim = F.round(_cosine(F.col("vec_a"), F.col("vec_b")), 4)
     return (
         pairs.withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)

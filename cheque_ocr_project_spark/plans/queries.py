@@ -796,6 +796,20 @@ def q_embedding_lsh_near_dup(spark, sf_dir):
     return SIM.cosine_near_dup_pairs(spark, emb, dim=64, threshold=0.3)
 
 
+def _sql_ann_lsh_topk():
+    from cheque_ocr_project_spark.plans import similarity_sql
+
+    return similarity_sql.sql_ann_lsh_topk(dim=64, k=5, n_planes=4, n_bands=24)
+
+
+def _sql_embedding_lsh_near_dup():
+    from cheque_ocr_project_spark.plans import similarity_sql
+
+    return similarity_sql.sql_embedding_lsh_near_dup(
+        dim=64, threshold=0.3, n_planes=12, n_bands=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (stubbed decode; rows-only checks)
 # ---------------------------------------------------------------------------
@@ -924,8 +938,8 @@ REGISTRY: dict[str, tuple] = {
     "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
-    "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, None),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),
+    "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk),
     "media_image_features": (q_media_image_features, None),
     "media_audio_features": (q_media_audio_features, None),
     "media_frame_sample": (q_media_frame_sample, None),

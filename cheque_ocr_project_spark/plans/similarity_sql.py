@@ -1,0 +1,102 @@
+"""DuckDB oracle SQL for the embedding-LSH operators.
+
+Renders the integer hyperplane spec of ``operators/similarity.py``
+(quantize = floor(x*1000 + 0.5); coefficients in {-2..2} from an integer
+hash; band code = sign bits of exact integer dot products) so the driver
+recomputes the LSH candidate sets bit-for-bit. Dot products of quantized
+vectors are sums of integers far below 2^53, so DuckDB's double-valued
+``list_dot_product`` is exact for them."""
+
+from __future__ import annotations
+
+from cheque_ocr_project_spark.operators import similarity as SIM
+
+QUANT = "list_transform({vec}, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5))"
+
+COSINE = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+def _keys_array(dim: int, n_planes: int, n_bands: int, seed: int) -> str:
+    """Array of 'b:code' band-key strings over a column named ``q``
+    (the quantized vector, computed once per row by the enclosing SELECT)."""
+    coeffs = SIM.plane_coeffs(dim, n_planes, n_bands, seed)
+    bands = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(q, "
+            f"{list(map(int, coeffs[b][p]))}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        bands.append(f"'{b}:' || CAST({bits} AS VARCHAR)")
+    return f"[{', '.join(bands)}]"
+
+
+def _sig_cte(src_sql: str, id_alias: str, vec: str, dim: int, n_planes: int,
+             n_bands: int, seed: int) -> str:
+    """(id, band_key) relation: quantize once per row, build the key array,
+    unnest it."""
+    keys = _keys_array(dim, n_planes, n_bands, seed)
+    q = QUANT.format(vec=vec)
+    return f"""(
+  SELECT {id_alias}, unnest(keys) AS band_key FROM (
+    SELECT {id_alias}, {keys} AS keys FROM (
+      SELECT {id_alias}, {q} AS q FROM {src_sql}
+    )
+  )
+)"""
+
+
+def sql_ann_lsh_topk(dim: int = 64, k: int = 5, n_planes: int = 4,
+                     n_bands: int = 24, seed: int = 29) -> str:
+    corpus_sig = _sig_cte("embeddings", "vec_id", "embedding",
+                          dim, n_planes, n_bands, seed)
+    query_sig = _sig_cte("q", "query_id", "qvec", dim, n_planes, n_bands, seed)
+    sim = COSINE.format(a="e.embedding", b="qq.qvec")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+corpus_sig AS {corpus_sig},
+query_sig AS {query_sig},
+cand AS (
+  SELECT DISTINCT qs.query_id, cs.vec_id
+  FROM corpus_sig cs JOIN query_sig qs USING (band_key)
+  WHERE cs.vec_id <> qs.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id, {sim} AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q qq ON qq.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, sim, rn FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}"""
+
+
+def sql_embedding_lsh_near_dup(dim: int = 64, threshold: float = 0.3,
+                               n_planes: int = 12, n_bands: int = 6,
+                               seed: int = 29) -> str:
+    sig = _sig_cte("embeddings", "vec_id", "embedding",
+                   dim, n_planes, n_bands, seed)
+    sim = COSINE.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH sig AS {sig},
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM sig l JOIN sig r USING (band_key)
+  WHERE l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b, {sim} AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}"""
