@@ -68,6 +68,22 @@ def polyhash(text: str, init: int = 7) -> int:
     return acc
 
 
+def batch_polyhash(strs: list[str], init: int = 7) -> np.ndarray:
+    """polyhash of every string, vectorized across the batch: one masked
+    update pass per character position (max_len vector ops total)."""
+    if not strs:
+        return np.empty(0, dtype=np.int64)
+    strs = [(s if isinstance(s, str) else "") for s in strs]
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
+    codes = _codepoints("".join(strs))
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    acc = np.full(len(strs), init, dtype=np.int64)
+    for j in range(int(lens.max(initial=0))):
+        live = lens > j
+        acc[live] = (acc[live] * POLY_MULT + codes[offs[live] + j]) % POLY_P
+    return acc
+
+
 def _batch_shingle_hashes(texts: list[str], k: int
                           ) -> tuple[np.ndarray, np.ndarray]:
     """All shingle hashes for a batch, fully vectorized across rows.
@@ -228,19 +244,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
             flat = [tok for ts in row_tokens for tok in ts]
             if flat:
-                tok_lens = np.fromiter(
-                    (len(t) for t in flat), dtype=np.int64, count=len(flat)
-                )
-                codes = _codepoints("".join(flat))
-                offs = np.concatenate(([0], np.cumsum(tok_lens)[:-1]))
-                h1 = np.full(len(flat), 7, dtype=np.int64)
-                h2 = np.full(len(flat), 11, dtype=np.int64)
-                for j in range(int(tok_lens.max())):  # masked polyhash step
-                    live = tok_lens > j
-                    c = codes[offs[live] + j]
-                    h1[live] = (h1[live] * POLY_MULT + c) % POLY_P
-                    h2[live] = (h2[live] * POLY_MULT + c) % POLY_P
-                h64 = (h1 << np.int64(31)) + h2
+                h64 = (batch_polyhash(flat, 7) << np.int64(31)) + batch_polyhash(flat, 11)
                 bits = ((h64[:, None].astype(np.uint64) >> bit_idx[None, :])
                         & np.uint64(1)).astype(np.int64)
                 seg = np.concatenate(([0], np.cumsum(counts)[:-1]))

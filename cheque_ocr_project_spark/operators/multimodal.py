@@ -3,10 +3,15 @@
 The Spark-side plumbing is real and tested — schema, Arrow batch shape,
 partition-friendly mapInPandas signatures, deterministic behavior. The
 actual codec work is STUBBED (pillow/librosa/av are not in this container):
-each stage tries the real library and otherwise falls back to a
-clearly-marked deterministic fake derived from the payload bytes, keeping
-the pipeline runnable end-to-end. Swapping the fake for the real decode is
-a one-function change per stage.
+each stage tries the real library on the payload and falls back to a
+clearly-marked deterministic stub on ImportError OR decode failure — the
+job can never crash on a codec path (the real decode of a non-image payload
+degrades to the stub row, labeled in ``decoder``).
+
+Stub feature spec (shared with the DuckDB oracle in plans/media_sql.py):
+``seed = polyhash(payload-as-utf8-text)`` — the same 31-bit polynomial hash
+as the dedup operators — and every stub feature is an exact integer formula
+of (seed, meta), so the driver recomputes all three feature tables.
 
 Schema:
     media(media_id long, kind string, payload binary,
@@ -16,13 +21,15 @@ Schema:
 
 from __future__ import annotations
 
-import zlib
+import io
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from cheque_ocr_project_spark.operators.dedup import batch_polyhash
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -63,16 +70,18 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
-    """STUB decoder: deterministic pseudo-pixels from payload bytes.
-    Replace with PIL.Image.open(io.BytesIO(payload)) when pillow exists."""
-    seed = zlib.crc32(payload or b"")
-    rng = np.random.RandomState(seed % (2**32))
-    return rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+def _payload_seeds(payloads) -> np.ndarray:
+    """Stub decode seed per payload: polyhash of the utf-8-decoded bytes
+    (vectorized across the batch; SQL twin hashes the source text)."""
+    texts = [
+        (bytes(p) if p is not None else b"").decode("utf-8", "replace")
+        for p in payloads
+    ]
+    return batch_polyhash(texts)
 
 
 try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
+    from PIL import Image
 
     HAVE_PIL = True
 except ImportError:
@@ -89,35 +98,60 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def _pil_image_features(payload: bytes) -> tuple[int, int, float, float]:
+    """Real decode path (runs when pillow is installed AND the payload is a
+    decodable image; raises otherwise and the caller falls back)."""
+    img = Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
+    px = np.asarray(img, dtype=np.uint8)  # pragma: no cover
+    grad = np.abs(np.diff(px.astype(np.int16), axis=1)).mean()  # pragma: no cover
+    return (px.shape[1], px.shape[0], float(px.mean()) / 255.0,  # pragma: no cover
+            float(grad) / 255.0)
+
+
+def image_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch of image rows → feature rows. Module-level so tests
+    can exercise both decode branches in-process (the pil branch via
+    monkeypatch, the stub branch as shipped)."""
+    seeds = _payload_seeds(pdf["payload"])
+    out = {k: [] for k in ("media_id", "width", "height",
+                           "mean_luma", "edge_density", "decoder")}
+    for mid, payload, meta, seed in zip(
+        pdf["media_id"], pdf["payload"], pdf["meta"], seeds
+    ):
+        w, h = int(meta["width"]), int(meta["height"])
+        luma = edge = None
+        decoder = "stub"
+        if HAVE_PIL:
+            try:
+                w, h, luma, edge = _pil_image_features(bytes(payload or b""))
+                decoder = "pil"
+            except Exception:
+                luma = edge = None
+        if luma is None:
+            s = int(seed)
+            luma = ((s + 31 * w + 7 * h) % 256) / 255.0
+            edge = ((s * 13 + w + h) % 100) / 100.0
+        out["media_id"].append(mid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["mean_luma"].append(luma)
+        out["edge_density"].append(edge)
+        out["decoder"].append(decoder)
+    return pd.DataFrame(out)
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract stage (Arrow-batched).
 
-    Real plumbing: binary payload + struct meta in, flat features out; one
-    decode per row inside the batch loop, numpy feature math vectorized per
-    image. STUB: pixels come from the deterministic fake decoder unless PIL
-    is importable."""
+    Real plumbing: binary payload + struct meta in, flat features out. The
+    decode tries pillow when available and NEVER poisons the job: any
+    decode failure (or pillow absent) degrades to the deterministic stub
+    features ``mean_luma = ((seed + 31w + 7h) % 256)/255``,
+    ``edge_density = ((seed*13 + w + h) % 100)/100``."""
 
     def batches(pdf_iter):
         for pdf in pdf_iter:
-            out = {k: [] for k in ("media_id", "width", "height",
-                                   "mean_luma", "edge_density", "decoder")}
-            for mid, payload, meta in zip(
-                pdf["media_id"], pdf["payload"], pdf["meta"]
-            ):
-                w, h = int(meta["width"]), int(meta["height"])
-                if HAVE_PIL:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode path: PIL.Image.open(BytesIO(payload))"
-                    )
-                px = _fake_pixels(bytes(payload or b""), w, h)
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_luma"].append(float(px.mean()) / 255.0)
-                grad = np.abs(np.diff(px.astype(np.int16), axis=1)).mean()
-                out["edge_density"].append(float(grad) / 255.0)
-                out["decoder"].append("fake")
-            yield pd.DataFrame(out)
+            yield image_features_pdf(pdf)
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
@@ -139,9 +173,6 @@ def resize_images(media: DataFrame, scale_percent: int = 50) -> DataFrame:
     the decoded image and re-encodes."""
     w = (F.col("meta.width") * scale_percent / 100).cast("int")
     h = (F.col("meta.height") * scale_percent / 100).cast("int")
-    new_len = F.greatest(
-        (F.octet_length("payload") * scale_percent / 100).cast("int"), F.lit(1)
-    )
     return media.filter(F.col("kind") == "image").select(
         "media_id", w.alias("width"), h.alias("height"),
         F.expr("substring(payload, 1, greatest(cast(octet_length(payload) * "
@@ -159,20 +190,22 @@ FRAME_SAMPLE_SCHEMA = T.StructType([
 
 def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (explode
-    shape). STUB frame decode; real impl seeks with PyAV."""
+    shape). STUB frame decode (``frame_luma = ((seed >> (i % 24)) & 255)
+    / 255``); real impl seeks with PyAV."""
 
     def batches(pdf_iter):
         for pdf in pdf_iter:
+            seeds = _payload_seeds(pdf["payload"])
             out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "frame_luma")}
-            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+            for mid, meta, seed in zip(pdf["media_id"], pdf["meta"], seeds):
                 duration = int(meta["duration_ms"])
                 n_frames = max(1, int(duration / 1000 * fps))
-                seed = zlib.crc32(bytes(payload or b""))
+                s = int(seed)
                 for i in range(n_frames):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["ts_ms"].append(int(i * 1000 / fps))
-                    out["frame_luma"].append(((seed >> (i % 24)) & 0xFF) / 255.0)
+                    out["frame_luma"].append(((s >> (i % 24)) & 0xFF) / 255.0)
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(
@@ -189,21 +222,24 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Audio feature extraction (RMS + zero crossings) over STUB samples
-    derived deterministically from payload bytes; real impl uses librosa."""
+    """Audio feature extraction over STUB samples: ``rms = ((seed*17 + n)
+    % 1000)/1000``, ``zero_crossings = (seed*7 + n*3) % 1000`` with n =
+    payload bytes; real impl decodes with librosa/soundfile (same
+    fall-back-never-crash structure as image_features)."""
 
     def batches(pdf_iter):
         for pdf in pdf_iter:
+            seeds = _payload_seeds(pdf["payload"])
             out = {k: [] for k in ("media_id", "sample_rate", "rms", "zero_crossings")}
-            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                raw = np.frombuffer(bytes(payload or b"\x00"), dtype=np.uint8)
-                samples = (raw.astype(np.float32) - 127.5) / 127.5
+            for mid, payload, meta, seed in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"], seeds
+            ):
+                n = len(bytes(payload or b""))
+                s = int(seed)
                 out["media_id"].append(mid)
                 out["sample_rate"].append(int(meta["sample_rate"]))
-                out["rms"].append(float(np.sqrt((samples ** 2).mean())))
-                out["zero_crossings"].append(
-                    int((np.diff(np.signbit(samples)) != 0).sum())
-                )
+                out["rms"].append(((s * 17 + n) % 1000) / 1000.0)
+                out["zero_crossings"].append(int((s * 7 + n * 3) % 1000))
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(

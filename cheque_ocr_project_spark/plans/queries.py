@@ -846,6 +846,24 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+def _sql_media_image_features():
+    from cheque_ocr_project_spark.plans import media_sql
+
+    return media_sql.sql_media_image_features()
+
+
+def _sql_media_audio_features():
+    from cheque_ocr_project_spark.plans import media_sql
+
+    return media_sql.sql_media_audio_features()
+
+
+def _sql_media_frame_sample():
+    from cheque_ocr_project_spark.plans import media_sql
+
+    return media_sql.sql_media_frame_sample(fps=1.0)
+
+
 def sql_media_resize():
     # mirrors media_from_documents + resize_images for image-kind docs.
     # floor() matches Spark's truncating int cast (DuckDB CAST rounds).
@@ -940,9 +958,9 @@ REGISTRY: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk),
-    "media_image_features": (q_media_image_features, None),
-    "media_audio_features": (q_media_audio_features, None),
-    "media_frame_sample": (q_media_frame_sample, None),
+    "media_image_features": (q_media_image_features, _sql_media_image_features),
+    "media_audio_features": (q_media_audio_features, _sql_media_audio_features),
+    "media_frame_sample": (q_media_frame_sample, _sql_media_frame_sample),
     "media_resize": (q_media_resize, sql_media_resize),
     "flagship_extract": (q_flagship_extract, None),
     "flagship_extract_v3": (q_flagship_extract_v3, None),

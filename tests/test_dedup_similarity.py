@@ -117,7 +117,7 @@ def test_media_pipeline_deterministic(spark):
     feats1 = MM.image_features(media).orderBy("media_id").toPandas()
     feats2 = MM.image_features(media).orderBy("media_id").toPandas()
     pd.testing.assert_frame_equal(feats1, feats2)   # stub decode deterministic
-    assert (feats1.decoder == "fake").all()
+    assert (feats1.decoder == "stub").all()
     assert ((feats1.mean_luma >= 0) & (feats1.mean_luma <= 1)).all()
 
     frames = MM.sample_frames(media, fps=1.0)
@@ -142,3 +142,36 @@ def test_resize_scales_meta(spark):
     ).collect()
     for r in j:
         assert r.width == int(r.w0 * 50 / 100)
+
+
+def test_image_decode_branches(monkeypatch):
+    """With PIL present: decodable payloads take the real path, broken ones
+    fall back to the stub — the job never raises (VERDICT round-1 fix)."""
+    pdf = pd.DataFrame({
+        "media_id": [1, 2],
+        "payload": [b"not an image", b"also not an image"],
+        "meta": [
+            {"width": 10, "height": 8, "mime": "x", "sample_rate": 0, "duration_ms": 0},
+            {"width": 6, "height": 4, "mime": "x", "sample_rate": 0, "duration_ms": 0},
+        ],
+    })
+
+    # branch 1: pillow importable but payload undecodable -> stub, no crash
+    monkeypatch.setattr(MM, "HAVE_PIL", True)
+    out = MM.image_features_pdf(pdf)
+    assert list(out.decoder) == ["stub", "stub"]
+
+    # branch 2: decode succeeds -> real features, decoder='pil'
+    monkeypatch.setattr(
+        MM, "_pil_image_features", lambda payload: (3, 2, 0.25, 0.125)
+    )
+    out = MM.image_features_pdf(pdf)
+    assert list(out.decoder) == ["pil", "pil"]
+    assert list(out.width) == [3, 3] and list(out.mean_luma) == [0.25, 0.25]
+
+    # branch 3 (shipped): pillow absent -> deterministic stub formulas
+    monkeypatch.setattr(MM, "HAVE_PIL", False)
+    out = MM.image_features_pdf(pdf)
+    from cheque_ocr_project_spark.operators.dedup import polyhash
+    s = polyhash("not an image")
+    assert out.mean_luma[0] == ((s + 31 * 10 + 7 * 8) % 256) / 255.0
