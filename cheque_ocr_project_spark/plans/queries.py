@@ -920,6 +920,24 @@ def q_flagship_extract(spark, sf_dir):
     )
 
 
+def q_flagship_nofuzzy(spark, sf_dir):
+    """The flagship pipeline with an empty drawer dictionary: every stage
+    except the difflib fuzzy join (which empty-dict reduces to the identity)
+    — and therefore fully SQL-provable. The fuzzy flagship keeps its
+    rows-only driver check; its correctness evidence is the pytest equality
+    suite (native == arrow == pure-Python oracle)."""
+    from cheque_ocr_project_spark.plans import pipeline as P
+
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    return P.extract_pipeline(spark, transcripts, []).drop("main_text")
+
+
+def _sql_flagship_nofuzzy():
+    from cheque_ocr_project_spark.plans import flagship_sql
+
+    return flagship_sql.sql_flagship_nofuzzy()
+
+
 def q_flagship_extract_v3(spark, sf_dir):
     from cheque_ocr_project_spark.operators import extract as X
 
@@ -963,6 +981,7 @@ REGISTRY: dict[str, tuple] = {
     "media_frame_sample": (q_media_frame_sample, _sql_media_frame_sample),
     "media_resize": (q_media_resize, sql_media_resize),
     "flagship_extract": (q_flagship_extract, None),
+    "flagship_nofuzzy": (q_flagship_nofuzzy, _sql_flagship_nofuzzy),
     "flagship_extract_v3": (q_flagship_extract_v3, None),
 }
 
