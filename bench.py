@@ -134,6 +134,22 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Secondary breadth sweep: EVERY registered query (headline set above is
+    # kept stable round-over-round; this sweep makes regressions in
+    # non-headline queries visible in BENCH_r{N}.json). flagship_extract is
+    # skipped here — it is measured above on the replicated input.
+    all_timings: dict[str, float] = {}
+    for name, fn in sorted(registry.items()):
+        if name in timings or name == "flagship_extract":
+            continue
+        try:
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            all_timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            all_timings[name] = -1.0
+            print(f"# bench sweep error {name}: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -141,6 +157,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "all_queries": all_timings,
+                "n_queries": len(timings) + len(all_timings),
                 "sf": sf,
                 "flagship_turns": n_turns,
                 "flagship_turns_per_sec": round(turns_per_sec, 1),

@@ -106,3 +106,229 @@ def ensemble_confidence(ocr_conf, ner_conf, context_conf, spelling_conf):
     return (
         0.3 * ocr_conf + 0.4 * ner_conf + 0.2 * context_conf + 0.1 * spelling_conf
     )
+
+
+# ---------------------------------------------------------------------------
+# U3: zero-shot verification (ai_processor.py:127-139, 210-227)
+# ---------------------------------------------------------------------------
+
+ZERO_SHOT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("backend", T.StringType()),
+])
+
+DEFAULT_ZS_LABELS = ("government cheque", "business payment", "personal cheque")
+
+
+def zero_shot_overlap(text: str, labels) -> tuple[str, float]:
+    """Deterministic fallback: label-word containment ratio; argmax with
+    first-label tie-break. SQL-recomputable (plans/models_sql.py)."""
+    words = set(text[:512].upper().split())
+    best_label, best = labels[0], -1.0
+    for lab in labels:
+        lw = lab.upper().split()
+        score = sum(1 for w in lw if w in words) / len(lw)
+        if score > best:
+            best_label, best = lab, score
+    return best_label, best
+
+
+def _load_zero_shot(labels):
+    if "zero_shot" in _WORKER_STATE:
+        return _WORKER_STATE["zero_shot"]
+    try:  # pragma: no cover - transformers not in this container
+        from transformers import pipeline
+
+        model = pipeline("zero-shot-classification",
+                         model="facebook/bart-large-mnli")
+
+        def run(text: str):
+            out = model(text[:512], candidate_labels=list(labels))
+            return out["labels"][0], float(out["scores"][0]), "hf"
+    except ImportError:
+        def run(text: str):
+            label, score = zero_shot_overlap(text, labels)
+            return label, score, "overlap"
+    _WORKER_STATE["zero_shot"] = run
+    return run
+
+
+def zero_shot_classify(spark: SparkSession, transcripts: DataFrame,
+                       labels=DEFAULT_ZS_LABELS) -> DataFrame:
+    """U3 plumbing: bart-large-mnli context verification when transformers
+    is installed; deterministic keyword-overlap fallback otherwise (labeled
+    in ``backend``). Lazy per-worker init, 512-char truncation like the
+    reference (ai_processor.py:159)."""
+
+    def batches(pdf_iter):
+        run = _load_zero_shot(labels)
+        for pdf in pdf_iter:
+            labs, scores, backends = [], [], []
+            for text in pdf["text"]:
+                lab, score, backend = run(text or "")
+                labs.append(lab)
+                scores.append(score)
+                backends.append(backend)
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "label": labs, "score": scores, "backend": backends,
+            })
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        batches, schema=ZERO_SHOT_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# U4: QA extraction (pure_ai_processor.py:68-92)
+# ---------------------------------------------------------------------------
+
+QA_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("answer", T.StringType()),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("backend", T.StringType()),
+])
+
+DEFAULT_QA_QUESTION = "Who is the payee of this cheque?"
+
+
+def qa_payee_heuristic(text: str) -> tuple[str | None, float]:
+    """Deterministic fallback: the payee grammar's first non-bank match over
+    the truncated turn (trailing newlines stripped so Python-`re` and RE2
+    '$' agree); score = 0.5 + 0.5*min(1, len/30)."""
+    from cheque_ocr_project_spark.oracle import grammars
+
+    snippet = text[:512].rstrip("\n\r")
+    answer = grammars.extract_payee(snippet)
+    if answer is None:
+        return None, 0.0
+    return answer, 0.5 + 0.5 * min(1.0, len(answer) / 30.0)
+
+
+def _load_qa(question: str):
+    if "qa" in _WORKER_STATE:
+        return _WORKER_STATE["qa"]
+    try:  # pragma: no cover - transformers not in this container
+        from transformers import pipeline
+
+        model = pipeline("question-answering",
+                         model="distilbert-base-cased-distilled-squad")
+
+        def run(text: str):
+            out = model(question=question, context=text[:512])
+            return out["answer"], float(out["score"]), "hf"
+    except ImportError:
+        def run(text: str):
+            answer, score = qa_payee_heuristic(text)
+            return answer, score, "heuristic"
+    _WORKER_STATE["qa"] = run
+    return run
+
+
+def qa_extract(spark: SparkSession, transcripts: DataFrame,
+               question: str = DEFAULT_QA_QUESTION) -> DataFrame:
+    """U4 plumbing: distilbert-squad extraction when transformers is
+    installed; deterministic grammar heuristic otherwise."""
+
+    def batches(pdf_iter):
+        run = _load_qa(question)
+        for pdf in pdf_iter:
+            answers, scores, backends = [], [], []
+            for text in pdf["text"]:
+                ans, score, backend = run(text or "")
+                answers.append(ans)
+                scores.append(score)
+                backends.append(backend)
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "answer": answers, "score": scores, "backend": backends,
+            })
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        batches, schema=QA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# U5: T5 spell correction (ai_processor.py:108-125, 177-208)
+# ---------------------------------------------------------------------------
+
+T5_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("corrected", T.StringType()),
+    T.StructField("spell_conf", T.DoubleType()),
+    T.StructField("backend", T.StringType()),
+])
+
+
+def spell_correct_deterministic(text: str) -> tuple[str, float]:
+    """Deterministic fallback: the F13 literal map (oracle.cleaning), with
+    the reference's word-zip confidence (ai_processor.py:196-204): fraction
+    of aligned words unchanged."""
+    from cheque_ocr_project_spark.oracle import cleaning
+
+    snippet = text[:512]
+    corrected = cleaning.correct_spelling_ai(snippet)
+    a = snippet.upper().split()
+    b = corrected.upper().split()
+    denom = max(len(a), len(b))
+    if denom == 0:
+        return corrected, 1.0
+    matches = sum(1 for x, y in zip(a, b) if x == y)
+    return corrected, matches / denom
+
+
+def _load_t5():
+    if "t5" in _WORKER_STATE:
+        return _WORKER_STATE["t5"]
+    try:  # pragma: no cover - transformers not in this container
+        from transformers import pipeline
+
+        model = pipeline("text2text-generation", model="google/flan-t5-small")
+
+        def run(text: str):
+            prompt = f"Fix the spelling: {text[:512]}"
+            out = model(prompt, max_length=128)[0]["generated_text"]
+            a, b = text[:512].upper().split(), out.upper().split()
+            denom = max(len(a), len(b))
+            conf = (sum(1 for x, y in zip(a, b) if x == y) / denom
+                    if denom else 1.0)
+            return out, conf, "hf"
+    except ImportError:
+        def run(text: str):
+            corrected, conf = spell_correct_deterministic(text)
+            return corrected, conf, "map"
+    _WORKER_STATE["t5"] = run
+    return run
+
+
+def t5_spell_correct(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """U5 plumbing: flan-t5-small prompt correction when transformers is
+    installed; the deterministic F13 replacement chain otherwise."""
+
+    def batches(pdf_iter):
+        run = _load_t5()
+        for pdf in pdf_iter:
+            outs, confs, backends = [], [], []
+            for text in pdf["text"]:
+                corrected, conf, backend = run(text or "")
+                outs.append(corrected)
+                confs.append(conf)
+                backends.append(backend)
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].values,
+                "corrected": outs, "spell_conf": confs, "backend": backends,
+            })
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        batches, schema=T5_SCHEMA
+    )

@@ -946,6 +946,213 @@ def q_flagship_extract_v3(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# W2/P11: preprocessing-variant try-all-keep-best
+# (issuer_processor_v2.py:296-330, IssuerBatchProcessorV3.py:374-393)
+# ---------------------------------------------------------------------------
+
+def _variant_conf_col(v):
+    lines = F.filter(F.split(v, "\n"), lambda ln: ln.rlike(r"\S"))
+    line_conf = lambda ln: (  # noqa: E731 — = oracle.issuer.line_confidence
+        F.when(F.length(ln) == 0, F.lit(0.0)).otherwise(
+            0.6 + 0.4 * (C.n_alpha(ln) / F.length(ln))
+        )
+    )
+    s = F.aggregate(lines, F.lit(0.0), lambda acc, ln: acc + line_conf(ln))
+    return F.when(F.size(lines) > 0, s / F.size(lines)).otherwise(0.0)
+
+
+def q_variant_keep_best(spark, sf_dir):
+    """W2 idiom end-to-end: variant struct columns collapsed with
+    when-chain early exit (>= 0.95) + greatest() over structs (max conf,
+    earliest variant on ties via neg_idx). = oracle.variants.keep_best."""
+    from cheque_ocr_project_spark.oracle.variants import EARLY_EXIT, VARIANT_NAMES
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    variants = [
+        t,
+        F.regexp_replace(t, r"<[^>]*>", ""),
+        F.trim(F.regexp_replace(t, r"\s+", " ")),
+    ]
+    structs = []
+    for i, (name, v) in enumerate(zip(VARIANT_NAMES, variants)):
+        structs.append(
+            F.struct(
+                _variant_conf_col(v).alias("conf"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(name).alias("name"),
+                v.alias("vtext"),
+            )
+        )
+    chain = None
+    for s in structs:
+        hit = s.getField("conf") >= EARLY_EXIT
+        chain = F.when(hit, s) if chain is None else chain.when(hit, s)
+    chosen = chain.otherwise(F.greatest(*structs))
+
+    lines = F.filter(
+        F.split(chosen.getField("vtext"), "\n"), lambda ln: ln.rlike(r"\S")
+    )
+    full_text = F.array_join(lines, " ")
+    u = F.upper(full_text)
+    payee = None
+    for p in PAYEE_PATTERNS_SQLSAFE:
+        cand = F.regexp_replace(F.regexp_extract(u, p, 1), r"^\s+|\s+$", "")
+        ok = u.rlike(p) & ~C.is_bank_or_metadata(cand)
+        payee = F.when(ok, cand) if payee is None else payee.when(ok, cand)
+    payee = payee.otherwise(F.lit(None).cast("string"))
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        chosen.getField("name").alias("best_variant"),
+        chosen.getField("conf").alias("best_conf"),
+        payee.alias("payee_raw"),
+    )
+
+
+def sql_variant_keep_best():
+    from cheque_ocr_project_spark.plans import flagship_sql as FS
+
+    def vconf(v):
+        lines = (
+            f"list_filter(string_split({v}, chr(10)), "
+            f"ln -> regexp_matches(ln, '\\S'))"
+        )
+        fold = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({lines}, ln -> {FS.line_conf('ln')})), "
+            f"(a, b) -> a + b)"
+        )
+        return (
+            f"CASE WHEN len({lines}) > 0 THEN {fold} / len({lines}) "
+            f"ELSE 0.0 END"
+        )
+
+    return f"""
+WITH v AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         regexp_replace(coalesce(text, ''), '<[^>]*>', '', 'g') AS dom,
+         trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS ws
+  FROM documents
+),
+conf AS (
+  SELECT doc_id, t, dom, ws,
+         {vconf('t')} AS c0, {vconf('dom')} AS c1, {vconf('ws')} AS c2
+  FROM v
+),
+pick AS (
+  SELECT *, CASE WHEN c0 >= 0.95 THEN 0 WHEN c1 >= 0.95 THEN 1
+                 WHEN c2 >= 0.95 THEN 2
+                 WHEN c0 >= c1 AND c0 >= c2 THEN 0
+                 WHEN c1 >= c2 THEN 1 ELSE 2 END AS bi
+  FROM conf
+),
+sel AS (
+  SELECT doc_id,
+         CASE bi WHEN 0 THEN 'plain' WHEN 1 THEN 'dom_stripped'
+                 ELSE 'ws_norm' END AS best_variant,
+         CASE bi WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END AS best_conf,
+         CASE bi WHEN 0 THEN t WHEN 1 THEN dom ELSE ws END AS vtext
+  FROM pick
+),
+ft AS (
+  SELECT doc_id, best_variant, best_conf,
+         upper(array_to_string(list_filter(string_split(vtext, chr(10)),
+               ln -> regexp_matches(ln, '\\S')), ' ')) AS u
+  FROM sel
+)
+SELECT doc_id, best_variant, best_conf, {FS.payee_raw('u')} AS payee_raw
+FROM ft"""
+
+
+# ---------------------------------------------------------------------------
+# model phase (U2-U5 plumbing + K3 ensemble) — the registered queries
+# exercise the deterministic fallbacks (this container has no transformers);
+# the `backend` column makes a real-model environment visibly diverge.
+# ---------------------------------------------------------------------------
+
+def q_zero_shot_classify(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import models as M
+
+    return M.zero_shot_classify(spark, documents_as_transcripts(spark, sf_dir))
+
+
+def _sql_zero_shot_classify():
+    from cheque_ocr_project_spark.plans import models_sql
+
+    return models_sql.sql_zero_shot_classify()
+
+
+def q_qa_extract(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import models as M
+
+    return M.qa_extract(spark, documents_as_transcripts(spark, sf_dir))
+
+
+def _sql_qa_extract():
+    from cheque_ocr_project_spark.plans import models_sql
+
+    return models_sql.sql_qa_extract()
+
+
+def q_t5_spell(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import models as M
+
+    out = M.t5_spell_correct(spark, documents_as_transcripts(spark, sf_dir))
+    # UPPER form: DuckDB lacks initcap, and upper∘title is the identity on
+    # the [A-Z ] output charset (same convention as spelling_correct)
+    return out.select(
+        "conv_id", "turn_idx", F.upper("corrected").alias("corrected"),
+        "spell_conf", "backend",
+    )
+
+
+def _sql_t5_spell():
+    from cheque_ocr_project_spark.plans import models_sql
+
+    return models_sql.sql_t5_spell()
+
+
+def q_model_ensemble(spark, sf_dir):
+    """K3 ensemble confidence wired end-to-end: deterministic per-turn
+    component signals combined with the reference's weights
+    (ai_processor.py:75-80) via models.ensemble_confidence."""
+    from cheque_ocr_project_spark.operators import models as M
+    from cheque_ocr_project_spark.plans import models_sql
+
+    d = documents_as_transcripts(spark, sf_dir)
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda ln: ln.rlike(r"\S"))
+    line_conf = lambda ln: (  # noqa: E731 — = oracle.issuer.line_confidence
+        F.when(F.length(ln) == 0, F.lit(0.0)).otherwise(
+            0.6 + 0.4 * (C.n_alpha(ln) / F.length(ln))
+        )
+    )
+    conf_sum = F.aggregate(lines, F.lit(0.0), lambda acc, ln: acc + line_conf(ln))
+    ocr = F.when(F.size(lines) > 0, conf_sum / F.size(lines)).otherwise(0.0)
+    u512 = F.upper(F.substring(F.col("text"), 1, 512))
+    caps = F.size(
+        F.regexp_extract_all(u512, F.lit(models_sql.CAP_SPAN_RX), F.lit(1))
+    )
+    ner = F.least(F.lit(1.0), caps / F.lit(10.0))
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    context = F.when(F.size(toks) > 0, stop_hits / F.size(toks)).otherwise(0.0)
+    spelling = F.lit(1.0) - C.n_digit(F.col("text")) / F.length(F.col("text"))
+    ens = M.ensemble_confidence(ocr, ner, context, spelling)
+    return d.select(
+        "conv_id", "turn_idx",
+        ocr.alias("ocr_conf"), ner.alias("ner_conf"),
+        context.alias("context_conf"), spelling.alias("spelling_conf"),
+        ens.alias("ensemble"),
+    )
+
+
+def _sql_model_ensemble():
+    from cheque_ocr_project_spark.plans import models_sql
+
+    return models_sql.sql_model_ensemble()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -983,6 +1190,11 @@ REGISTRY: dict[str, tuple] = {
     "flagship_extract": (q_flagship_extract, None),
     "flagship_nofuzzy": (q_flagship_nofuzzy, _sql_flagship_nofuzzy),
     "flagship_extract_v3": (q_flagship_extract_v3, None),
+    "variant_keep_best": (q_variant_keep_best, sql_variant_keep_best),
+    "zero_shot_classify": (q_zero_shot_classify, _sql_zero_shot_classify),
+    "qa_extract": (q_qa_extract, _sql_qa_extract),
+    "t5_spell": (q_t5_spell, _sql_t5_spell),
+    "model_ensemble": (q_model_ensemble, _sql_model_ensemble),
 }
 
 

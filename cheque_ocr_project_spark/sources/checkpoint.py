@@ -91,10 +91,28 @@ def run_with_checkpoint(
     n_buckets: int = 64,
     threshold: float = 0.90,
     engine: str = "arrow",
+    wave_size: int = 16,
+    _fail_after_waves: int | None = None,
 ) -> dict:
     """Extraction with per-bucket lineage + metrics; resumable.
 
-    Returns {"processed_buckets": int, "skipped_buckets": int, "rows": int}.
+    Buckets are processed in WAVES of ``wave_size``: each wave's data is
+    committed (dynamic partition overwrite — a wave replaces only its own
+    bucket directories) and its manifest entries appended BEFORE the next
+    wave starts, so a driver crash loses at most one in-flight wave, not
+    the whole run. ``wall_ms`` is the honest wall of the entry's own wave.
+
+    Trade-off: each wave re-filters the input on its bucket ids (the bucket
+    is a hash, so this is a scan-side filter, not partition pruning). With
+    ``wave_size >= n_buckets`` the run is single-pass — pick the wave size
+    to balance scan passes against resume granularity: at 100 TB a wave of
+    16/64 buckets bounds crash-loss to 1/4 of the run for 4 input passes
+    (or bucket-partition the staged input once to make waves prune).
+
+    ``_fail_after_waves`` is a test hook simulating a mid-run driver crash
+    AFTER that many wave commits.
+
+    Returns {"processed_buckets", "skipped_buckets", "rows", "waves"}.
     """
     from cheque_ocr_project_spark.plans import pipeline as P
 
@@ -102,57 +120,72 @@ def run_with_checkpoint(
 
     tb = with_bucket(transcripts, n_buckets)
     done = completed_buckets(output_dir)
-    pending = tb.filter(~F.col(BUCKET_COL).isin(list(done))) if done else tb
-
-    n_pending_buckets = pending.select(BUCKET_COL).distinct().count()
-    if n_pending_buckets == 0:
-        return {"processed_buckets": 0, "skipped_buckets": len(done), "rows": 0}
-
-    t0 = time.perf_counter()
-    result = P.extract_pipeline(
-        spark, pending.drop(BUCKET_COL), drawer_dict, threshold, engine=engine
-    )
-    result = with_bucket(result, n_buckets)
+    # bucket-id list is <= n_buckets rows — driver-small by construction
+    all_ids = {r[0] for r in tb.select(BUCKET_COL).distinct().collect()}
+    pending_ids = sorted(all_ids - done)
+    if not pending_ids:
+        return {"processed_buckets": 0, "skipped_buckets": len(done),
+                "rows": 0, "waves": 0}
 
     data_dir = f"{output_dir}/data"
-    result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
-    wall_ms = int((time.perf_counter() - t0) * 1000)
-
-    # Metrics from the committed data (not the in-flight plan): rows + bytes
-    # per bucket, joined with the input fingerprints.
-    committed = spark.read.parquet(data_dir).filter(
-        F.col(BUCKET_COL).isin(
-            [r[0] for r in pending.select(BUCKET_COL).distinct().collect()]
-        )
-    )
     byte_size = (
         F.octet_length(F.coalesce(F.col("main_text"), F.lit("")))
         + F.octet_length(F.coalesce(F.col("payee_cleaned"), F.lit("")))
         + F.octet_length(F.coalesce(F.col("issuer"), F.lit("")))
     )
-    stats = committed.groupBy(BUCKET_COL).agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(byte_size).alias("bytes"),
-    )
-    fps = input_fingerprints(tb.join(stats.select(BUCKET_COL), BUCKET_COL, "left_semi"))
-    per_bucket = stats.join(fps, BUCKET_COL, "left").collect()
 
-    entries = [
-        {
-            "bucket": int(r[BUCKET_COL]),
-            "rows": int(r["rows"]),
-            "bytes": int(r["bytes"]),
-            "input_fingerprint": int(r["input_fingerprint"]),
-            "input_rows": int(r["input_rows"]),
-            "wall_ms": wall_ms,
-            "engine": engine,
-        }
-        for r in per_bucket
-    ]
-    append_manifest(output_dir, entries)
-    total_rows = sum(e["rows"] for e in entries)
+    total_rows, waves = 0, 0
+    for w0 in range(0, len(pending_ids), wave_size):
+        wave_ids = pending_ids[w0:w0 + wave_size]
+        t0 = time.perf_counter()
+        wave_in = tb.filter(F.col(BUCKET_COL).isin(wave_ids))
+        result = P.extract_pipeline(
+            spark, wave_in.drop(BUCKET_COL), drawer_dict, threshold,
+            engine=engine,
+        )
+        result = with_bucket(result, n_buckets)
+        result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+
+        # Metrics from the committed data (not the in-flight plan).
+        committed = spark.read.parquet(data_dir).filter(
+            F.col(BUCKET_COL).isin(wave_ids)
+        )
+        stats = committed.groupBy(BUCKET_COL).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(byte_size).alias("bytes"),
+        )
+        fps = input_fingerprints(wave_in)
+        per_bucket = stats.join(fps, BUCKET_COL, "left").collect()
+
+        entries = [
+            {
+                "bucket": int(r[BUCKET_COL]),
+                "rows": int(r["rows"]),
+                "bytes": int(r["bytes"]),
+                "input_fingerprint": int(r["input_fingerprint"]),
+                "input_rows": int(r["input_rows"]),
+                "wall_ms": wall_ms,
+                "wave": waves,
+                "engine": engine,
+            }
+            for r in per_bucket
+        ]
+        append_manifest(output_dir, entries)
+        total_rows += sum(e["rows"] for e in entries)
+        waves += 1
+        if (
+            _fail_after_waves is not None
+            and waves >= _fail_after_waves
+            and w0 + wave_size < len(pending_ids)
+        ):
+            raise RuntimeError(
+                f"simulated driver crash after wave {waves} commit"
+            )
+
     return {
-        "processed_buckets": len(entries),
+        "processed_buckets": len(pending_ids),
         "skipped_buckets": len(done),
         "rows": total_rows,
+        "waves": waves,
     }

@@ -6,11 +6,14 @@ machinery is directory chunking with an in-memory dedup set
 stream source + the engine's exactly-once sink tracking:
 
 - ``stream_extract``  — readStream over a transcripts directory →
-  the same Arrow-batched extraction → parquet sink with checkpointing.
-  ``Trigger.AvailableNow`` drains everything present and stops, which is
-  the batch-chunking semantics the reference hand-rolls (restart = resume
-  from the streaming checkpoint; files already committed are never
-  reprocessed — the S12 dedup guard for free).
+  the same Arrow-batched extraction → parquet sink partitioned by
+  ``batch_id`` with dynamic partition overwrite. foreachBatch is
+  AT-LEAST-ONCE: a crash between the data write and the streaming
+  checkpoint commit replays the batch — partitioning by batch_id makes the
+  replay REPLACE its own partition instead of appending duplicates
+  (idempotent sink = effective exactly-once). ``Trigger.AvailableNow``
+  drains everything present and stops, which is the batch-chunking
+  semantics the reference hand-rolls (parallel_processor.py:124-128).
 - ``stream_status_counts`` — the run-metrics counters (A2) as a streaming
   aggregation with ``outputMode('complete')`` into memory for monitoring.
 
@@ -59,11 +62,20 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
 
     stream = read_transcript_stream(spark, input_dir)
 
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = X.extract_turns_udf(spark, batch_df, drawer_dict, threshold)
-        out.write.mode("append").parquet(output_dir)
+        # idempotent per batch_id: a replayed batch overwrites exactly its
+        # own partition (foreachBatch is at-least-once)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

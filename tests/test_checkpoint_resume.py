@@ -82,3 +82,38 @@ def test_stem_key(spark):
     )
     got = [r[0] for r in df.select(IO.stem_key(F.col("f"))).collect()]
     assert got == ["p_000123", "img", "plain"]
+
+
+def test_wave_commit_survives_driver_crash(spark, transcripts_sdf, fixture_data, tmp_path):
+    """A driver crash between waves must lose at most the in-flight wave:
+    the committed waves' buckets are skipped on resume (VERDICT round-1 #6)."""
+    import pytest
+
+    _t, _m, dd = fixture_data
+    out = str(tmp_path / "out_wave")
+    n_buckets = 8
+
+    with pytest.raises(RuntimeError, match="simulated driver crash"):
+        CP.run_with_checkpoint(
+            spark, transcripts_sdf, dd, out, n_buckets,
+            wave_size=3, _fail_after_waves=1,
+        )
+    committed = CP.completed_buckets(out)
+    assert len(committed) == 3  # exactly the first wave
+
+    # resume: processes only the remaining buckets, in waves
+    stats = CP.run_with_checkpoint(
+        spark, transcripts_sdf, dd, out, n_buckets, wave_size=3
+    )
+    assert stats["processed_buckets"] == n_buckets - 3
+    assert stats["skipped_buckets"] == 3
+    assert stats["waves"] == 2  # ceil(5/3)
+
+    full = spark.read.parquet(f"{out}/data")
+    assert full.count() == transcripts_sdf.count()
+    assert full.select("conv_id", "turn_idx").distinct().count() == full.count()
+
+    # per-wave honest wall_ms: entries carry their own wave's wall + index
+    waves = {e["wave"] for e in CP.read_manifest(out)}
+    assert waves == {0, 1}  # resume restarted wave numbering
+    assert all(e["wall_ms"] > 0 for e in CP.read_manifest(out))

@@ -41,3 +41,30 @@ def test_ner_udf_plumbing(spark, transcripts_sdf):
     # deterministic across reruns
     again = M.ner_entities(spark, transcripts_sdf.limit(200)).collect()
     assert [r.entities for r in rows] == [r.entities for r in again]
+
+
+def test_model_udf_plumbing_u3_u4_u5(spark, transcripts_sdf):
+    """U3/U4/U5 share the NER shape: lazy per-worker init, deterministic
+    fallback, labeled backend."""
+    t = transcripts_sdf.limit(100)
+
+    zs = M.zero_shot_classify(spark, t).collect()
+    assert len(zs) == 100
+    assert all(r.backend == "overlap" for r in zs)
+    assert all(r.label in M.DEFAULT_ZS_LABELS and 0 <= r.score <= 1 for r in zs)
+
+    qa = M.qa_extract(spark, t).collect()
+    assert len(qa) == 100
+    assert all(r.backend == "heuristic" for r in qa)
+    answered = [r for r in qa if r.answer is not None]
+    assert answered and all(r.score > 0 for r in answered)
+    assert all(r.score == 0.0 for r in qa if r.answer is None)
+
+    t5 = M.t5_spell_correct(spark, t).collect()
+    assert len(t5) == 100
+    assert all(r.backend == "map" for r in t5)
+    assert all(0 <= r.spell_conf <= 1 for r in t5)
+
+    # deterministic across reruns
+    again = M.zero_shot_classify(spark, t).collect()
+    assert [(r.label, r.score) for r in zs] == [(r.label, r.score) for r in again]

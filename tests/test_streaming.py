@@ -73,3 +73,26 @@ def test_stream_status_counts_and_rate(spark, staged_input, tmp_path):
     qr.awaitTermination(120)
     rate = spark.sql("SELECT * FROM turn_rate_t").toPandas()
     assert rate.turns.sum() > 0
+
+
+def test_stream_replay_is_idempotent(spark, staged_input, tmp_path):
+    """foreachBatch is at-least-once: wiping the streaming checkpoint forces
+    a full replay — the batch_id-partitioned dynamic-overwrite sink must
+    REPLACE, not duplicate (ADVICE round-1 #2)."""
+    import shutil
+
+    input_dir, half1, _half2, dd = staged_input
+    out_dir = str(tmp_path / "out_replay")
+    cp_dir = str(tmp_path / "cp_replay")
+
+    q = ST.stream_extract(spark, str(input_dir), out_dir, cp_dir, dd)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == len(half1)
+
+    shutil.rmtree(cp_dir)  # lose the checkpoint -> everything replays
+    q2 = ST.stream_extract(spark, str(input_dir), out_dir, cp_dir, dd)
+    q2.awaitTermination(120)
+    result = spark.read.parquet(out_dir)
+    assert result.count() == n1  # replaced, not appended
+    assert result.select("conv_id", "turn_idx").distinct().count() == n1
