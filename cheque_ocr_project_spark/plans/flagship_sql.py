@@ -310,6 +310,125 @@ def content_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# V3 variant (extract_turn_v3: clean_v3 → junk/validity v3 → conf top-1 →
+# prefix strip → status cascade; empty dict ⇒ no fuzzy stage)
+# ---------------------------------------------------------------------------
+
+def clean_text_v3(expr: str) -> str:
+    s = f"replace(translate(upper({expr}), '|!015', 'IIOIS'), '8', 'B')"
+    s = D.rr(s, r"[^A-Za-z0-9 ,.&/-]", " ")
+    s = D.collapse_ws(s)
+    return (
+        f"CASE WHEN {expr} IS NULL OR length({expr}) = 0 THEN '' ELSE {s} END"
+    )
+
+
+def remove_prefixes_v3(expr: str) -> str:
+    s = D.chain_regex_strip_sql(f"upper({expr})", vocab.PREFIX_PATTERNS_V3)
+    return D.pystrip_sql(s)
+
+
+def sql_flagship_v3_nofuzzy(threshold: float = 0.85) -> str:
+    from cheque_ocr_project_spark.plans.queries_v3 import _junk_v3_sql
+
+    def valid_business_v3(u: str) -> str:
+        bank_hit = " OR ".join(
+            f"(contains({u}, {D.q(b)}) AND {len(b)} >= length({u}) * 0.7)"
+            for b in vocab.BANK_NAMES_V3
+        )
+        alpha = n_alpha(u)
+        digits = n_digit(u)
+        total = f"length({u})"
+        return f"""({u} IS NOT NULL AND length({u}) >= 3
+      AND NOT {_junk_v3_sql(u)}
+      AND NOT ({bank_hit})
+      AND (CASE WHEN {digits} > 0 AND {alpha} = 0 THEN length({u}) >= 8
+           ELSE NOT (CASE WHEN {alpha} > 0
+                     THEN ({alpha} * 1.0 / {total} < 0.3 AND {total} > 5
+                           AND NOT ({digits} > 5))
+                     ELSE FALSE END) END))"""
+
+    def valid_drawer_v3(u: str) -> str:
+        return (
+            f"({u} IS NOT NULL AND length({u}) >= 3 "
+            f"AND NOT {_junk_v3_sql(u)} AND {valid_business_v3(u)})"
+        )
+
+    short_review = (
+        "(length(issuer_v3) <= 4 AND regexp_matches(issuer_v3, '^[A-Za-z]+$')"
+        " AND issuer_v3 NOT IN ('LTD', 'PVT', 'INC', 'CO.'))"
+    )
+    return f"""
+WITH transcripts AS (
+  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx,
+         CASE WHEN doc_id % 3 = 0 THEN 'user'
+              WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text,
+         CASE WHEN doc_id % 3 = 2 THEN
+           (CASE WHEN doc_id % 2 = 0 THEN 'web_fetch' ELSE 'pdf_extract' END)
+         END AS tool
+  FROM documents
+),
+content AS ({content_sql()}),
+turns AS (
+  SELECT conv_id, turn_idx,
+         list_filter(string_split(content, {NL}),
+                     ln -> regexp_matches(ln, '\\S')) AS lines
+  FROM content
+),
+lines_rel AS (
+  SELECT conv_id, turn_idx,
+         unnest(range(0, len(lines))) AS line_idx,
+         unnest(lines) AS raw_line
+  FROM turns
+),
+lines2 AS (
+  SELECT conv_id, turn_idx, line_idx,
+         {line_conf('raw_line')} AS conf,
+         {clean_text_v3(pystrip('raw_line'))} AS cleaned
+  FROM lines_rel
+),
+cands AS (
+  SELECT conv_id, turn_idx, line_idx, conf, cleaned
+  FROM lines2
+  WHERE cleaned <> '' AND NOT {_junk_v3_sql('cleaned')}
+    AND {valid_drawer_v3('cleaned')}
+),
+top1 AS (
+  SELECT conv_id, turn_idx, cleaned AS best_cleaned, conf AS best_conf
+  FROM cands
+  QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
+                             ORDER BY conf DESC, line_idx ASC) = 1
+),
+per_turn AS (
+  SELECT t.conv_id, t.turn_idx,
+         CASE WHEN p.best_cleaned IS NULL THEN 'NO_VALID_TEXT'
+              ELSE {remove_prefixes_v3('p.best_cleaned')} END AS issuer_v3,
+         CASE WHEN p.best_cleaned IS NULL THEN 0.0
+              ELSE p.best_conf END AS confidence_v3,
+         CAST(NULL AS VARCHAR) AS matched_with
+  FROM turns t
+  LEFT JOIN top1 p ON p.conv_id = t.conv_id AND p.turn_idx = t.turn_idx
+)
+SELECT conv_id, turn_idx, issuer_v3, confidence_v3, matched_with,
+  CASE
+    WHEN issuer_v3 <> 'NO_VALID_TEXT' AND {_junk_v3_sql('issuer_v3')}
+      THEN 'JUNK-FILTERED'
+    WHEN confidence_v3 >= {threshold} AND length(issuer_v3) > 0
+         AND issuer_v3 <> 'NO_VALID_TEXT'
+      THEN (CASE WHEN {valid_drawer_v3('issuer_v3')}
+                 THEN (CASE WHEN {short_review} THEN 'REVIEW-SHORT'
+                            ELSE 'AUTO-UPDATED' END)
+                 ELSE 'INVALID-TEXT' END)
+    WHEN length(issuer_v3) > 0 AND issuer_v3 <> 'NO_VALID_TEXT'
+         AND {valid_drawer_v3('issuer_v3')}
+      THEN 'REVIEW'
+    ELSE 'NO-TEXT'
+  END AS status_v3
+FROM per_turn"""
+
+
+# ---------------------------------------------------------------------------
 # full statement
 # ---------------------------------------------------------------------------
 

@@ -945,6 +945,22 @@ def q_flagship_extract_v3(spark, sf_dir):
     return X.extract_turns_v3_udf(spark, transcripts, default_drawer_dict())
 
 
+def q_flagship_v3_nofuzzy(spark, sf_dir):
+    """V3 pipeline with an empty drawer dictionary — the difflib stage is
+    the identity, so the whole path is SQL-provable (same pattern as
+    flagship_nofuzzy)."""
+    from cheque_ocr_project_spark.operators import extract as X
+
+    transcripts = documents_as_transcripts(spark, sf_dir)
+    return X.extract_turns_v3_udf(spark, transcripts, [])
+
+
+def _sql_flagship_v3_nofuzzy():
+    from cheque_ocr_project_spark.plans import flagship_sql
+
+    return flagship_sql.sql_flagship_v3_nofuzzy()
+
+
 # ---------------------------------------------------------------------------
 # W2/P11: preprocessing-variant try-all-keep-best
 # (issuer_processor_v2.py:296-330, IssuerBatchProcessorV3.py:374-393)
@@ -990,22 +1006,35 @@ def q_variant_keep_best(spark, sf_dir):
     chosen = chain.otherwise(F.greatest(*structs))
 
     lines = F.filter(
-        F.split(chosen.getField("vtext"), "\n"), lambda ln: ln.rlike(r"\S")
+        F.split(F.col("ch.vtext"), "\n"), lambda ln: ln.rlike(r"\S")
     )
-    full_text = F.array_join(lines, " ")
-    u = F.upper(full_text)
+    u = F.upper(F.array_join(lines, " "))
+    staged = (
+        _docs(spark, sf_dir)
+        .select("doc_id", chosen.alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.name").alias("best_variant"),
+            F.col("ch.conf").alias("best_conf"),
+            u.alias("u"),
+        )
+        # Exchange barrier: the payee chain below references `u` ~270 times
+        # (10 patterns x rlike/extract/25-term bank gate); without the
+        # barrier CollapseProject would inline the whole variant-confidence
+        # machinery into every reference (measured 97s -> ~3s at sf0.1).
+        .repartition(F.col("doc_id"))
+    )
     payee = None
     for p in PAYEE_PATTERNS_SQLSAFE:
-        cand = F.regexp_replace(F.regexp_extract(u, p, 1), r"^\s+|\s+$", "")
-        ok = u.rlike(p) & ~C.is_bank_or_metadata(cand)
+        cand = F.regexp_replace(
+            F.regexp_extract(F.col("u"), p, 1), r"^\s+|\s+$", ""
+        )
+        ok = F.col("u").rlike(p) & ~C.is_bank_or_metadata(cand)
         payee = F.when(ok, cand) if payee is None else payee.when(ok, cand)
     payee = payee.otherwise(F.lit(None).cast("string"))
 
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        chosen.getField("name").alias("best_variant"),
-        chosen.getField("conf").alias("best_conf"),
-        payee.alias("payee_raw"),
+    return staged.select(
+        "doc_id", "best_variant", "best_conf", payee.alias("payee_raw")
     )
 
 
@@ -1190,6 +1219,7 @@ REGISTRY: dict[str, tuple] = {
     "flagship_extract": (q_flagship_extract, None),
     "flagship_nofuzzy": (q_flagship_nofuzzy, _sql_flagship_nofuzzy),
     "flagship_extract_v3": (q_flagship_extract_v3, None),
+    "flagship_v3_nofuzzy": (q_flagship_v3_nofuzzy, _sql_flagship_v3_nofuzzy),
     "variant_keep_best": (q_variant_keep_best, sql_variant_keep_best),
     "zero_shot_classify": (q_zero_shot_classify, _sql_zero_shot_classify),
     "qa_extract": (q_qa_extract, _sql_qa_extract),
