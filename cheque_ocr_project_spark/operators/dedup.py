@@ -330,6 +330,56 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(node, component) over the near-dup pair graph; component = min
+    reachable node id — the canonical "keep one document per duplicate
+    cluster" primitive.
+
+    Iterative min-label propagation (GraphX-style): each round joins labels
+    to the symmetric edge list and takes the per-node min (2 shuffles per
+    round); rounds needed = graph diameter, which for near-dup clusters is
+    tiny (clusters are cliques-ish from LSH banding). Lineage is truncated
+    per round with localCheckpoint so the plan does not grow with the
+    iteration count (on a cluster, use reliable checkpointing instead).
+    Deterministic: the fixpoint is min-reachable-id regardless of the
+    iteration schedule; raises if max_iter rounds do not converge."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), F.col("comp"))
+        new_labels = (
+            prop.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct character n-grams as a native array expression."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))

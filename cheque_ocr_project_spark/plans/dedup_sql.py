@@ -95,6 +95,34 @@ SELECT id_a, id_b, round(est, 6) AS est_jaccard
 FROM est WHERE est >= {threshold}"""
 
 
+def sql_near_dup_clusters(max_hamming: int = 3) -> str:
+    """Connected components over the SimHash pair graph, as a recursive
+    CTE computing the transitive closure then min-reachable-id per node
+    (exact twin of dedup.connected_components' fixpoint). Closure size is
+    fine at oracle scale; the Spark side is the scale path."""
+    pair_sql = sql_simhash_near_dup(max_hamming)
+    body = pair_sql.split("WITH", 1)[1]
+    final_select = body.rindex("SELECT id_a, id_b")
+    ctes, final = body[:final_select].rstrip().rstrip(","), body[final_select:]
+    final = final.strip()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({final}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.m FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node)
+SELECT component, count(*) AS n_members,
+       CAST(min(node) AS BIGINT) AS keeper_id
+FROM comp GROUP BY component"""
+
+
 def sql_simhash_near_dup(max_hamming: int = 3) -> str:
     n_chunks, width = DD.simhash_chunking(max_hamming)
     mask = (1 << width) - 1

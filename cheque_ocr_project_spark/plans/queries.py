@@ -711,6 +711,28 @@ def _sql_simhash_near_dup():
     return dedup_sql.sql_simhash_near_dup(max_hamming=3)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the SimHash
+    near-dup pair graph (keep one document per cluster). Iterative
+    min-label propagation on the Spark side; recursive-CTE transitive
+    closure as the DuckDB oracle."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = DD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    comp = DD.connected_components(pairs)
+    return comp.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("keeper_id"),
+    ).select(F.col("comp").alias("component"), "n_members", "keeper_id")
+
+
+def _sql_near_dup_clusters():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    return dedup_sql.sql_near_dup_clusters(max_hamming=3)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from cheque_ocr_project_spark.operators import dedup as DD
 
@@ -1208,6 +1230,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, sql_ann_topk),
     "minhash_near_dup": (q_minhash_near_dup, _sql_minhash_near_dup),
     "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
+    "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),

@@ -169,22 +169,23 @@ def sql_remove_prefixes():
 def q_issuer_for_grammar(spark, sf_dir):
     u = F.upper(F.col("text"))
     cand = F.trim(F.substr(u, F.instr(u, "FOR") + 3))
+    # substring_index returns the whole string when the delimiter is absent,
+    # so each truncation is ONE reference to cand — a when(contains)/
+    # otherwise wrapper would re-reference cand 3x per marker and grow the
+    # expression tree 3^8-fold (measured ~9s -> ~0.7s at sf0.1)
     for marker in vocab.AI_END_MARKERS:
-        cand = F.when(
-            cand.contains(marker), F.substring_index(cand, marker, 1)
-        ).otherwise(cand)
+        cand = F.substring_index(cand, marker, 1)
     cand = F.substring_index(cand, "\n", 1)
     out = F.when(u.contains("FOR") & (F.length(cand) > 3), cand)
     return _docs(spark, sf_dir).select("doc_id", out.alias("for_candidate"))
 
 
 def sql_issuer_for_grammar():
+    # split_part returns the whole string when the delimiter is absent —
+    # single reference per truncation (mirrors the Spark side)
     cand = "trim(substr(upper(text), strpos(upper(text), 'FOR') + 3, 1000000))"
     for marker in vocab.AI_END_MARKERS:
-        cand = (
-            f"CASE WHEN contains({cand}, {D.q(marker)}) "
-            f"THEN split_part({cand}, {D.q(marker)}, 1) ELSE {cand} END"
-        )
+        cand = f"split_part({cand}, {D.q(marker)}, 1)"
     cand = f"split_part({cand}, chr(10), 1)"
     return f"""
 SELECT doc_id,
@@ -200,19 +201,37 @@ FROM documents"""
 def q_issuer_auth_account_grammar(spark, sf_dir):
     u = F.upper(F.col("text"))
 
-    def first_match(patterns):
+    # Cheap per-pattern prefilter (pure optimization, regex authoritative):
+    # the lazy `([A-Z][A-Z\s.]{3,50}?)` groups backtrack at every position
+    # in Java regex, so gate each pattern behind a literal its match MUST
+    # contain (contains() is ~10x cheaper than the backtracking scan).
+    # Measured 16s -> ~2s at sf0.1.
+    auth_guard = u.contains("SIGN")            # SIGNATORY/SIGNATURE/SIGN
+    acct_guards = [
+        u.contains("A/C"),                      # ...\s+\d+\s+A/C
+        u.contains("A/C"),                      # ...A/C\.?\s+NO
+        u.rlike(r"\d{10}"),                     # ...\s+\d{10,20}
+        u.contains("CURRENT A/C"),
+        u.contains("SAVINGS A/C"),
+    ]
+
+    def first_match(patterns, guards):
         chain = None
-        for p in patterns:
-            hit = F.when(u.rlike(p), F.trim(F.regexp_extract(u, p, 1)))
+        for p, g in zip(patterns, guards):
+            cond = g & u.rlike(p)
+            hit = F.when(cond, F.trim(F.regexp_extract(u, p, 1)))
             chain = hit if chain is None else chain.when(
-                u.rlike(p), F.trim(F.regexp_extract(u, p, 1))
+                cond, F.trim(F.regexp_extract(u, p, 1))
             )
         return chain.otherwise(F.lit(None).cast("string"))
 
     return _docs(spark, sf_dir).select(
         "doc_id",
-        first_match(vocab.AUTH_SIGNATORY_PATTERNS).alias("before_signatory"),
-        first_match(vocab.ACCOUNT_PATTERNS).alias("before_account"),
+        first_match(
+            vocab.AUTH_SIGNATORY_PATTERNS,
+            [auth_guard] * len(vocab.AUTH_SIGNATORY_PATTERNS),
+        ).alias("before_signatory"),
+        first_match(vocab.ACCOUNT_PATTERNS, acct_guards).alias("before_account"),
     )
 
 

@@ -175,3 +175,17 @@ def test_image_decode_branches(monkeypatch):
     from cheque_ocr_project_spark.operators.dedup import polyhash
     s = polyhash("not an image")
     assert out.mean_luma[0] == ((s + 31 * 10 + 7 * 8) % 256) / 255.0
+
+
+def test_connected_components(spark):
+    """Min-label propagation: chain + triangle + isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> component 1
+         (10, 11), (11, 12), (10, 12),  # triangle -> component 10
+         (20, 21)],                      # pair -> component 20
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.comp for r in DD.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
