@@ -46,13 +46,38 @@ def sql_clean_text_v3():
 # P4/P7: V3 junk + business-name validity (60% / 50% / 70% coverage rules)
 # ---------------------------------------------------------------------------
 
+_RX_META = set("\\^$.|?*+()[]{}")
+
+
+def _literal_prefix(pattern: str) -> str:
+    """Leading literal run of a regex (chars before the first metachar) —
+    a sound contains() prefilter: the pattern cannot match unless its
+    literal prefix occurs in the text. If the run stops at a quantifier
+    ('?', '*', '{'), the preceding char is optional/repeated and is dropped
+    from the prefix (e.g. 'AUTHORISED?...' -> 'AUTHORISE')."""
+    out = []
+    for ch in pattern:
+        if ch in _RX_META:
+            if ch in "?*{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 def _junk_v3_col(u: Column) -> Column:
     short_caps = u.rlike(r"^[A-Z]{2,4}$") & ~u.isin(*vocab.SHORT_CAPS_OK_V3)
-    pattern_hits = [
-        (F.length(F.regexp_extract(u, f"(?i){p}", 0)) >= F.length(u) * 0.6)
-        & u.rlike(f"(?i){p}")
-        for p in vocab.JUNK_PATTERNS_V3
-    ]
+    # literal-prefix guards skip the regex for the ~90% of rows that lack
+    # the pattern's anchor text (pure optimization, regex authoritative)
+    pattern_hits = []
+    for p in vocab.JUNK_PATTERNS_V3:
+        hit = (
+            F.length(F.regexp_extract(u, f"(?i){p}", 0)) >= F.length(u) * 0.6
+        ) & u.rlike(f"(?i){p}")
+        prefix = _literal_prefix(p)
+        if len(prefix) >= 3:
+            hit = u.contains(prefix) & hit
+        pattern_hits.append(hit)
     variation_hits = [
         u.contains(j) & (F.lit(len(j)) >= F.length(u) * 0.5)
         for j in vocab.JUNK_VARIATIONS_V3
@@ -607,11 +632,13 @@ def q_fast_pattern_extract(spark, sf_dir):
     def first(patterns):
         chain = None
         for p in patterns:
-            hit = F.when(
-                u.rlike(p), _clean_name_fast_col(F.regexp_extract(u, p, 1))
-            )
+            cond = u.rlike(p)
+            prefix = _literal_prefix(p)
+            if len(prefix) >= 3:  # skip the backtracking regex cheaply
+                cond = u.contains(prefix) & cond
+            hit = F.when(cond, _clean_name_fast_col(F.regexp_extract(u, p, 1)))
             chain = hit if chain is None else chain.when(
-                u.rlike(p), _clean_name_fast_col(F.regexp_extract(u, p, 1))
+                cond, _clean_name_fast_col(F.regexp_extract(u, p, 1))
             )
         return chain.otherwise(F.lit(None).cast("string"))
 
