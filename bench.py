@@ -127,12 +127,12 @@ def main() -> None:
         except Exception:
             pass
 
-    def timed(fn) -> float:
-        """min of 2 passes: the shared sandbox shows intermittent multi-
+    def timed(fn, passes: int = 2) -> float:
+        """min of K passes: the shared sandbox shows intermittent multi-
         second CPU-steal spikes that land on random queries; a spike must
-        hit the same query twice to survive min-of-2."""
+        hit the same query K times to survive min-of-K."""
         best = float("inf")
-        for _ in range(2):
+        for _ in range(passes):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -152,7 +152,8 @@ def main() -> None:
         if name in timings or name == "flagship_extract":
             continue
         try:
-            all_timings[name] = timed(fn)
+            # single pass: breadth visibility, bounded total bench time
+            all_timings[name] = timed(fn, passes=1)
         except Exception as exc:
             all_timings[name] = -1.0
             print(f"# bench sweep error {name}: {exc}", file=sys.stderr)
