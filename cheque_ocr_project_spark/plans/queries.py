@@ -984,6 +984,92 @@ def _sql_flagship_v3_nofuzzy():
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline staples: deterministic split + composed corpus
+# filter (quality gate ∧ language gate ∧ near-dup removal)
+# ---------------------------------------------------------------------------
+
+SPLIT_MIX = 2654435761
+SPLIT_MOD = (1 << 31) - 1
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash split (90/5/5): stable across runs, machines and
+    engines — the split of a document never changes when the corpus grows
+    (keyed on doc_id, not position). Exact integer arithmetic, so DuckDB
+    recomputes the assignment bit-for-bit."""
+    bucket = F.pmod(F.col("doc_id") * SPLIT_MIX, F.lit(SPLIT_MOD)) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", split.alias("split"), bucket.cast("int").alias("bucket")
+    )
+
+
+def sql_train_val_split():
+    b = f"(doc_id * {SPLIT_MIX}) % {SPLIT_MOD} % 100"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST({b} AS INT) AS bucket
+FROM documents"""
+
+
+def q_corpus_filter(spark, sf_dir):
+    """Composed pre-training corpus filter: quality >= 0.5 AND lang = 'en'
+    AND not a shadowed near-duplicate (anti-join against the SimHash pair
+    set keeps the min-id member of each pair). The anti-join is the only
+    shuffle beyond the LSH pipeline's own — the filter composition itself
+    is one scan."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    alpha_ratio = C.n_alpha(t) / F.length(t)
+    punct_ratio = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / F.length(t)
+    tokens = F.regexp_extract_all(F.lower(t), F.lit(r"[a-z]+"), F.lit(0))
+    stop_hits = F.size(F.filter(tokens, lambda w: w.isin(*_STOPWORDS)))
+    stop_ratio = F.when(F.size(tokens) > 0, stop_hits / F.size(tokens)).otherwise(0.0)
+    quality = 0.4 * alpha_ratio + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+    lang_en = stop_ratio >= 0.05
+
+    pairs = DD.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    shadowed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = (
+        d.filter((quality >= 0.5) & lang_en)
+        .join(shadowed, "doc_id", "left_anti")
+    )
+    return kept.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+def _sql_corpus_filter():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    pair_sql = dedup_sql.sql_simhash_near_dup(3).replace(
+        dedup_sql.DOCS_WITH_NEAR_DUPS_CTE,
+        "\ndocs AS (SELECT doc_id, text FROM documents)",
+    )
+    stop_list = ", ".join(D.q(w) for w in _STOPWORDS)
+    toks = "regexp_extract_all(lower(text), '[a-z]+')"
+    stop_ratio = (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, w -> w IN ({stop_list}))) * 1.0 / len({toks}) "
+        f"ELSE 0.0 END"
+    )
+    alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)"
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)"
+    quality = f"0.4 * ({alpha}) + 0.3 * ({stop_ratio}) + 0.3 * (1.0 - ({punct}))"
+    return f"""
+WITH pairs AS ({pair_sql}),
+shadowed AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+SELECT doc_id, round({quality}, 6) AS quality
+FROM documents
+WHERE ({quality}) >= 0.5 AND ({stop_ratio}) >= 0.05
+  AND doc_id NOT IN (SELECT doc_id FROM shadowed)"""
+
+
+# ---------------------------------------------------------------------------
 # W2/P11: preprocessing-variant try-all-keep-best
 # (issuer_processor_v2.py:296-330, IssuerBatchProcessorV3.py:374-393)
 # ---------------------------------------------------------------------------
@@ -1231,6 +1317,8 @@ REGISTRY: dict[str, tuple] = {
     "minhash_near_dup": (q_minhash_near_dup, _sql_minhash_near_dup),
     "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
+    "train_val_split": (q_train_val_split, sql_train_val_split),
+    "corpus_filter": (q_corpus_filter, _sql_corpus_filter),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),
