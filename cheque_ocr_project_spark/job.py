@@ -31,6 +31,10 @@ def build_args(argv=None):
     ap.add_argument("--n-buckets", type=int, default=64,
                     help="checkpoint/salt buckets (resume granularity)")
     ap.add_argument("--engine", choices=["arrow", "native"], default="arrow")
+    ap.add_argument("--wave-size", type=int, default=16,
+                    help="buckets committed per manifest wave (crash loses "
+                         "at most one in-flight wave; wave_size >= n_buckets "
+                         "= single input pass)")
     ap.add_argument("--resume", action="store_true",
                     help="skip buckets already committed to the manifest")
     ap.add_argument("--overwrite", action="store_true",
@@ -92,6 +96,7 @@ def main(argv=None) -> None:
     stats = checkpoint.run_with_checkpoint(
         spark, transcripts, drawer_dict, args.output,
         n_buckets=args.n_buckets, threshold=args.threshold, engine=args.engine,
+        wave_size=args.wave_size,
     )
     print(json.dumps({"job": "extraction", **stats}))
     spark.stop()

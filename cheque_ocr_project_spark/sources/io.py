@@ -21,10 +21,27 @@ from pyspark.sql import functions as F
 
 
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
-    """Read the transcripts table (Iceberg table name or parquet path)."""
-    if "/" in source:
-        return spark.read.parquet(source)
-    return spark.read.table(source)
+    """Read the transcripts table: Iceberg table name, parquet path, or
+    CSV/JSON-lines path (by extension) — the reference's manifest-CSV side
+    channel (S5, custom_csv.py:24-74) maps to the csv branch."""
+    if "/" not in source:
+        return spark.read.table(source)
+    low = source.lower()
+    if low.endswith(".csv") or low.endswith("_csv"):
+        # multiLine: transcript text legitimately contains newlines
+        df = (
+            spark.read.option("header", True)
+            .option("multiLine", True)
+            .csv(source)
+        )
+        # CSV reads everything as string; restore the transcripts types
+        for c, t in (("turn_idx", "int"), ("ts", "timestamp")):
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast(t))
+        return df
+    if low.endswith(".json") or low.endswith(".jsonl"):
+        return spark.read.json(source)
+    return spark.read.parquet(source)
 
 
 def write_results(df: DataFrame, path: str, mode: str = "append") -> None:

@@ -117,3 +117,22 @@ def test_wave_commit_survives_driver_crash(spark, transcripts_sdf, fixture_data,
     waves = {e["wave"] for e in CP.read_manifest(out)}
     assert waves == {0, 1}  # resume restarted wave numbering
     assert all(e["wall_ms"] > 0 for e in CP.read_manifest(out))
+
+
+def test_read_transcripts_csv_and_json(spark, fixture_data, tmp_path):
+    """S5: the manifest-CSV (and JSON-lines) side channels read back into
+    the transcripts shape with restored types."""
+    transcripts, _m, _dd = fixture_data
+    sdf = spark.createDataFrame(transcripts.head(40)).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    csv_dir = str(tmp_path / "in_csv")
+    sdf.write.option("header", True).mode("overwrite").csv(csv_dir + "/part.csv")
+    back = IO.read_transcripts(spark, csv_dir + "/part.csv")
+    assert back.count() == 40
+    assert dict(back.dtypes)["turn_idx"] == "int"
+
+    json_dir = str(tmp_path / "in_json")
+    sdf.write.mode("overwrite").json(json_dir + "/part.json")
+    backj = IO.read_transcripts(spark, json_dir + "/part.json")
+    assert backj.count() == 40
