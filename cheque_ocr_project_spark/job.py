@@ -49,6 +49,24 @@ def build_args(argv=None):
 def main(argv=None) -> None:
     args = build_args(argv)
 
+    if not args.resume:
+        # Fresh run: a previous manifest is resume state. Destroying it must
+        # be explicit (--overwrite); otherwise fail loudly BEFORE any Spark
+        # work so an operator cannot lose a multi-hour run's progress with a
+        # forgotten flag.
+        import shutil
+        import sys
+        from pathlib import Path
+
+        manifest = Path(args.output) / "_manifest"
+        if manifest.exists():
+            if not args.overwrite:
+                sys.exit(
+                    f"output {args.output} already has a checkpoint manifest; "
+                    "pass --resume to continue it or --overwrite to discard it"
+                )
+            shutil.rmtree(manifest)
+
     from pyspark.sql import SparkSession
 
     from cheque_ocr_project_spark.oracle import fuzzy
@@ -75,23 +93,6 @@ def main(argv=None) -> None:
     else:
         from cheque_ocr_project_spark.plans.queries import default_drawer_dict
         drawer_dict = default_drawer_dict()
-
-    if not args.resume:
-        # Fresh run: a previous manifest is resume state. Destroying it must
-        # be explicit (--overwrite); otherwise fail loudly so an operator
-        # cannot lose a multi-hour run's progress with a forgotten flag.
-        import shutil
-        import sys
-        from pathlib import Path
-
-        manifest = Path(args.output) / "_manifest"
-        if manifest.exists():
-            if not args.overwrite:
-                sys.exit(
-                    f"output {args.output} already has a checkpoint manifest; "
-                    "pass --resume to continue it or --overwrite to discard it"
-                )
-            shutil.rmtree(manifest)
 
     stats = checkpoint.run_with_checkpoint(
         spark, transcripts, drawer_dict, args.output,

@@ -25,7 +25,6 @@ import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _WORKER_STATE: dict = {}

@@ -15,7 +15,7 @@ tests/test_pipeline_equality.py).
 from __future__ import annotations
 
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cheque_ocr_project_spark.functions import columns as C

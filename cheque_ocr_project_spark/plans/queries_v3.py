@@ -184,7 +184,9 @@ def q_remove_prefixes(spark, sf_dir):
 def sql_remove_prefixes():
     s = "upper(text[1:60])"
     s = D.chain_regex_strip_sql(s, vocab.PREFIX_PATTERNS_V3)
-    return f"SELECT doc_id, trim({s}) AS deprefixed FROM documents"
+    # pystrip (all whitespace), not trim (spaces only): the oracle strips
+    # trailing newlines too — latent divergence on \n-terminated snippets
+    return f"SELECT doc_id, {D.pystrip_sql(s)} AS deprefixed FROM documents"
 
 
 # ---------------------------------------------------------------------------

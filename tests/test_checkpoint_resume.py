@@ -136,3 +136,34 @@ def test_read_transcripts_csv_and_json(spark, fixture_data, tmp_path):
     sdf.write.mode("overwrite").json(json_dir + "/part.json")
     backj = IO.read_transcripts(spark, json_dir + "/part.json")
     assert backj.count() == 40
+
+
+def test_job_refuses_silent_manifest_overwrite(tmp_path, monkeypatch):
+    """A fresh run into an output with an existing manifest must fail
+    without --overwrite (and must not delete it)."""
+    import pytest
+
+    from cheque_ocr_project_spark import job
+
+    out = tmp_path / "jobout"
+    manifest = out / "_manifest"
+    manifest.mkdir(parents=True)
+    (manifest / "commit-1-1.json").write_text('{"bucket": 0, "rows": 1}\n')
+
+    argv = ["--input", "/nonexistent", "--output", str(out)]
+    # SparkSession would be built before the guard — stub it out
+    import pyspark.sql as pq
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise AssertionError("must exit before touching Spark IO")
+
+    monkeypatch.setattr(pq.SparkSession, "builder", _Boom(), raising=False)
+    with pytest.raises(SystemExit, match="checkpoint manifest"):
+        job.main(argv)
+    assert manifest.exists()  # nothing deleted
+
+    # --overwrite deletes the manifest and proceeds to (stubbed) Spark
+    with pytest.raises(AssertionError, match="must exit before"):
+        job.main(argv + ["--overwrite"])
+    assert not manifest.exists()
