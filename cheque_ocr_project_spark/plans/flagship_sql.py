@@ -294,13 +294,17 @@ def content_sql() -> str:
     has_tag = "(contains(text, '<') AND regexp_matches(text, '<[^>]*>'))"
     return f"""
   SELECT conv_id, turn_idx, role, text, tool,
-    CASE
+    -- outer coalesce: DuckDB array_to_string([]) is NULL, but main_content
+    -- of a fully-stripped payload is '' (a tool turn whose every line is
+    -- dropped by the HTML/PDF heuristics must not poison the row with
+    -- NULLs — caught by tests/test_flagship_sql_adversarial.py)
+    coalesce(CASE
       WHEN role <> 'tool' THEN coalesce(text, '')
       WHEN text IS NULL OR length(text) = 0 THEN ''
       WHEN tool = 'web_fetch' OR {has_tag} THEN {html_main('text')}
       WHEN tool = 'pdf_extract' THEN {pdf_kept}
       ELSE {plain_main('text')}
-    END AS content
+    END, '') AS content
   FROM (
     SELECT conv_id, turn_idx, role, text, tool,
            CASE WHEN role = 'tool' AND tool = 'pdf_extract'
