@@ -145,6 +145,79 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
     )
 
 
+IVF_PIVOT_MIX = 2654435761
+IVF_PIVOT_MOD = (1 << 31) - 1
+
+
+def ivf_pivots(emb: DataFrame, n_pivots: int = 16, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Deterministic pivot selection: the ``n_pivots`` vectors with the
+    smallest ``(id * mix) mod P`` — a seeded data sample with no iterative
+    clustering, so the DuckDB oracle selects the identical set. (A Lloyd
+    refinement would improve cell balance but is intentionally omitted to
+    keep the index exactly recomputable; this is IVF-flat with hash-sampled
+    centroids.)"""
+    rank_key = F.pmod(F.col(id_col) * IVF_PIVOT_MIX, F.lit(IVF_PIVOT_MOD))
+    w = Window.orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        emb.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_pivots)
+        .select(F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pvec"))
+    )
+
+
+def _nearest_pivots(df: DataFrame, pivots: DataFrame, id_col: str,
+                    vec_col: str, n: int) -> DataFrame:
+    """(id, pivot_id) for each row's n highest-cosine pivots (round-4 with
+    pivot-id tiebreak — cross-engine-stable ranking)."""
+    joined = df.crossJoin(F.broadcast(pivots))
+    sim = F.round(_cosine(F.col(vec_col), F.col("pvec")), 4)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("psim").desc(), F.col("pivot_id").asc()
+    )
+    return (
+        joined.withColumn("psim", sim)
+        .withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= n)
+        .select(id_col, "pivot_id")
+    )
+
+
+def ivf_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+             k: int = 5, n_pivots: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are assigned to their
+    nearest pivot cell; each query probes its ``nprobe`` nearest cells and
+    scores only those cells' members. The only shuffles are the two
+    argmax windows and the cell equi-join — at 100 TB the cell join is the
+    classic IVF fan-in and the pivot table stays broadcast-size."""
+    pivots = ivf_pivots(emb, n_pivots, id_col, vec_col)
+    assign = _nearest_pivots(emb, pivots, id_col, vec_col, 1)
+    probes = _nearest_pivots(
+        queries.select(F.col("query_id").alias(id_col),
+                       F.col("qvec").alias(vec_col)),
+        pivots, id_col, vec_col, nprobe,
+    ).select(F.col(id_col).alias("query_id"), "pivot_id")
+
+    cand = (
+        assign.join(probes, "pivot_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cand.join(emb, id_col).join(F.broadcast(queries), "query_id")
+    sim = F.round(_cosine(F.col(vec_col), F.col("qvec")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rn")
+    )
+
+
 def cosine_near_dup_pairs(spark: SparkSession, emb: DataFrame, dim: int,
                           threshold: float = 0.9, n_planes: int = 12,
                           n_bands: int = 6, id_col: str = "vec_id",

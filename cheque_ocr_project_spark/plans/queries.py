@@ -824,6 +824,26 @@ def _sql_ann_lsh_topk():
     return similarity_sql.sql_ann_lsh_topk(dim=64, k=5, n_planes=4, n_bands=24)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (the brief's 'IVF variant as the scale path'):
+    hash-sampled pivots → cell assignment → nprobe probing → exact
+    re-rank. Fully native expressions; the DuckDB oracle recomputes the
+    identical index."""
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.ivf_topk(spark, emb, queries_df, k=5, n_pivots=16, nprobe=4)
+
+
+def _sql_ann_ivf_topk():
+    from cheque_ocr_project_spark.plans import similarity_sql
+
+    return similarity_sql.sql_ann_ivf_topk(k=5, n_pivots=16, nprobe=4)
+
+
 def _sql_embedding_lsh_near_dup():
     from cheque_ocr_project_spark.plans import similarity_sql
 
@@ -1323,6 +1343,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk),
+    "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk),
     "media_image_features": (q_media_image_features, _sql_media_image_features),
     "media_audio_features": (q_media_audio_features, _sql_media_audio_features),
     "media_frame_sample": (q_media_frame_sample, _sql_media_frame_sample),

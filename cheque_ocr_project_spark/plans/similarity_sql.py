@@ -80,6 +80,61 @@ SELECT query_id, neighbor_id, sim, rn FROM (
 ) WHERE rn <= {k}"""
 
 
+def sql_ann_ivf_topk(k: int = 5, n_pivots: int = 16, nprobe: int = 4) -> str:
+    """IVF-flat twin of similarity.ivf_topk: hash-sampled pivots, argmax
+    cell assignment, nprobe probing, exact re-rank — all with the round-4
+    cosine + id tiebreaks the Spark side uses."""
+    from cheque_ocr_project_spark.operators.similarity import (
+        IVF_PIVOT_MIX, IVF_PIVOT_MOD,
+    )
+
+    asim = COSINE.format(a="e.embedding", b="p.pvec")
+    qsim = COSINE.format(a="q.qvec", b="p.pvec")
+    sim = COSINE.format(a="e.embedding", b="qq.qvec")
+    return f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pvec FROM embeddings
+  ORDER BY (vec_id * {IVF_PIVOT_MIX}) % {IVF_PIVOT_MOD} ASC, vec_id ASC
+  LIMIT {n_pivots}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+assign AS (
+  SELECT vec_id, pivot_id FROM (
+    SELECT e.vec_id, p.pivot_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {asim} DESC, p.pivot_id ASC) AS pr
+    FROM embeddings e CROSS JOIN pivots p
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT query_id, pivot_id FROM (
+    SELECT q.query_id, p.pivot_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qsim} DESC, p.pivot_id ASC) AS pr
+    FROM q CROSS JOIN pivots p
+  ) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, a.vec_id
+  FROM assign a JOIN probes pr USING (pivot_id)
+  WHERE a.vec_id <> pr.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id, {sim} AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q qq ON qq.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, sim, rn FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}"""
+
+
 def sql_embedding_lsh_near_dup(dim: int = 64, threshold: float = 0.3,
                                n_planes: int = 12, n_bands: int = 6,
                                seed: int = 29) -> str:

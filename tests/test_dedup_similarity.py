@@ -189,3 +189,21 @@ def test_connected_components(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
                     10: 10, 11: 10, 12: 10,
                     20: 20, 21: 20}
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = SIM.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = SIM.ivf_topk(spark, emb, queries, k=5, n_pivots=16, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # sims on the overlap must be the exact sims
+    exact_sim = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sim:
+            assert exact_sim[(r.query_id, r.neighbor_id)] == r.sim
