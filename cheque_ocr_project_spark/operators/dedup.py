@@ -330,6 +330,42 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 8, window: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    scheme, value-dedup variant): polyhash every k-gram, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum, emit the
+    document's DISTINCT selected hashes as (id, fp) rows. Guarantees any
+    shared substring of length >= k + window - 1 produces a shared
+    fingerprint. Exact integer spec — the DuckDB oracle recomputes it."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ])
+
+    def batches(pdf_iter):
+        for pdf in pdf_iter:
+            texts = list(pdf[text_col])
+            hashes, row_lens = _batch_shingle_hashes(texts, k)
+            seg = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+            ids, fps = [], []
+            for i, rid in enumerate(pdf[id_col]):
+                h = hashes[seg[i]:seg[i] + row_lens[i]]
+                if len(h) <= window:
+                    sel = {int(h.min())}
+                else:
+                    m = h.copy()
+                    for j in range(1, window):  # sliding min: w vector ops
+                        m = np.minimum(m[:-1], h[j:j + len(m) - 1])
+                    sel = set(map(int, np.unique(m)))
+                ids.extend([rid] * len(sel))
+                fps.extend(sorted(sel))
+            yield pd.DataFrame({"id": ids, "fp": fps})
+
+    src = _parallel(df.select(F.col(id_col), F.col(text_col)))
+    return src.mapInPandas(batches, schema=schema)
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
     """(node, component) over the near-dup pair graph; component = min

@@ -95,6 +95,29 @@ SELECT id_a, id_b, round(est, 6) AS est_jaccard
 FROM est WHERE est >= {threshold}"""
 
 
+def sql_winnow_fingerprint(k: int = 8, window: int = 8) -> str:
+    """Winnowing twin of dedup.winnowing_fingerprints over documents."""
+    shingles = (
+        f"CASE WHEN length(text) < {k} THEN [text] "
+        f"ELSE list_transform(range(1, length(text) - {k - 2}), "
+        f"i -> text[i:i+{k - 1}]) END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform({shingles}, sh -> {poly_sql('sh', 7)}) AS hs
+  FROM documents
+),
+win AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) <= {window} THEN [list_min(hs)]
+         ELSE list_distinct(list_transform(range(1, len(hs) - {window} + 2),
+              i -> list_min(list_slice(hs, i, i + {window} - 1)))) END AS fps
+  FROM hashed
+)
+SELECT doc_id AS id, unnest(fps) AS fp FROM win"""
+
+
 def sql_near_dup_clusters(max_hamming: int = 3) -> str:
     """Connected components over the SimHash pair graph, as a recursive
     CTE computing the transitive closure then min-reachable-id per node

@@ -711,6 +711,24 @@ def _sql_simhash_near_dup():
     return dedup_sql.sql_simhash_near_dup(max_hamming=3)
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (rolling-hash k-grams → window minima): any
+    shared substring of length >= k + w - 1 yields a shared fingerprint —
+    the substring-robust document fingerprint the md5 `fingerprint` query
+    cannot provide."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    return DD.winnowing_fingerprints(
+        _docs(spark, sf_dir), "doc_id", "text", k=8, window=8
+    )
+
+
+def _sql_winnow_fingerprint():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    return dedup_sql.sql_winnow_fingerprint(k=8, window=8)
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Duplicate-cluster assignment: connected components over the SimHash
     near-dup pair graph (keep one document per cluster). Iterative
@@ -1337,6 +1355,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_near_dup": (q_minhash_near_dup, _sql_minhash_near_dup),
     "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
+    "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
     "train_val_split": (q_train_val_split, sql_train_val_split),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),

@@ -207,3 +207,21 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_sim:
             assert exact_sim[(r.query_id, r.neighbor_id)] == r.sim
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k + w - 1 (15 chars at
+    k=8,w=8) must share a fingerprint; unrelated docs shouldn't."""
+    shared = "COMMON SHARED SEGMENT OF TEXT"
+    docs = spark.createDataFrame(
+        [(0, f"prefix one {shared} suffix alpha"),
+         (1, f"другой prefix {shared} and more"),
+         (2, "entirely disjoint content with no overlap at all")],
+        "doc_id long, text string",
+    )
+    fps = DD.winnowing_fingerprints(docs, "doc_id", "text", k=8, window=8)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared substring produced no shared fp"
+    assert not (by_doc[0] & by_doc[2])
