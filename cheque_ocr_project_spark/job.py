@@ -35,6 +35,10 @@ def build_args(argv=None):
                     help="buckets committed per manifest wave (crash loses "
                          "at most one in-flight wave; wave_size >= n_buckets "
                          "= single input pass)")
+    ap.add_argument("--stage-input", action="store_true",
+                    help="write the bucketed input once (partitioned by "
+                         "bucket) so waves read with partition pruning "
+                         "instead of re-scanning — the right mode at scale")
     ap.add_argument("--resume", action="store_true",
                     help="skip buckets already committed to the manifest")
     ap.add_argument("--overwrite", action="store_true",
@@ -97,7 +101,7 @@ def main(argv=None) -> None:
     stats = checkpoint.run_with_checkpoint(
         spark, transcripts, drawer_dict, args.output,
         n_buckets=args.n_buckets, threshold=args.threshold, engine=args.engine,
-        wave_size=args.wave_size,
+        wave_size=args.wave_size, stage_input=args.stage_input,
     )
     print(json.dumps({"job": "extraction", **stats}))
     spark.stop()

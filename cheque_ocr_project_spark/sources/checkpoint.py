@@ -92,6 +92,7 @@ def run_with_checkpoint(
     threshold: float = 0.90,
     engine: str = "arrow",
     wave_size: int = 16,
+    stage_input: bool = False,
     _fail_after_waves: int | None = None,
 ) -> dict:
     """Extraction with per-bucket lineage + metrics; resumable.
@@ -102,23 +103,36 @@ def run_with_checkpoint(
     wave starts, so a driver crash loses at most one in-flight wave, not
     the whole run. ``wall_ms`` is the honest wall of the entry's own wave.
 
-    Trade-off: each wave re-filters the input on its bucket ids (the bucket
-    is a hash, so this is a scan-side filter, not partition pruning). With
-    ``wave_size >= n_buckets`` the run is single-pass — pick the wave size
-    to balance scan passes against resume granularity: at 100 TB a wave of
-    16/64 buckets bounds crash-loss to 1/4 of the run for 4 input passes
-    (or bucket-partition the staged input once to make waves prune).
+    Input-pass trade-off: by default each wave re-filters the raw input on
+    its bucket ids (the bucket is a hash, so this is a scan-side filter,
+    not partition pruning — n_buckets/wave_size input passes). With
+    ``stage_input=True`` the bucketed input is written ONCE to
+    ``<output>/_staged`` partitioned by bucket, and every wave reads only
+    its own partitions (partition pruning; total I/O = one write + one
+    read regardless of wave count — the right mode at 100 TB). The staged
+    copy is reused on resume when its ``_SUCCESS`` marker exists.
 
     ``_fail_after_waves`` is a test hook simulating a mid-run driver crash
     AFTER that many wave commits.
 
     Returns {"processed_buckets", "skipped_buckets", "rows", "waves"}.
     """
+    from pathlib import Path as _Path
+
     from cheque_ocr_project_spark.plans import pipeline as P
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     tb = with_bucket(transcripts, n_buckets)
+    if stage_input:
+        staged_dir = f"{output_dir}/_staged"
+        marker = _Path(staged_dir + ".committed")
+        if not marker.exists():
+            tb.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged_dir)
+            marker.write_text("ok\n")  # after the write commits (crash-safe)
+        tb = spark.read.parquet(staged_dir).withColumn(
+            BUCKET_COL, F.col(BUCKET_COL).cast("long")
+        )
     done = completed_buckets(output_dir)
     # bucket-id list is <= n_buckets rows — driver-small by construction
     all_ids = {r[0] for r in tb.select(BUCKET_COL).distinct().collect()}

@@ -167,3 +167,27 @@ def test_job_refuses_silent_manifest_overwrite(tmp_path, monkeypatch):
     with pytest.raises(AssertionError, match="must exit before"):
         job.main(argv + ["--overwrite"])
     assert not manifest.exists()
+
+
+def test_staged_input_waves(spark, transcripts_sdf, fixture_data, tmp_path):
+    """stage_input=True: one bucket-partitioned staging write, waves read
+    with partition pruning; results identical to the unstaged run."""
+    from pathlib import Path
+
+    _t, _m, dd = fixture_data
+    out = str(tmp_path / "out_staged")
+    stats = CP.run_with_checkpoint(
+        spark, transcripts_sdf, dd, out, n_buckets=8, wave_size=3,
+        stage_input=True,
+    )
+    assert stats["processed_buckets"] == 8 and stats["waves"] == 3
+    assert Path(out + "/_staged.committed").exists()
+    full = spark.read.parquet(f"{out}/data")
+    assert full.count() == transcripts_sdf.count()
+    assert full.select("conv_id", "turn_idx").distinct().count() == full.count()
+
+    # resume reuses the staged copy and does nothing
+    stats2 = CP.run_with_checkpoint(
+        spark, transcripts_sdf, dd, out, n_buckets=8, stage_input=True
+    )
+    assert stats2["processed_buckets"] == 0
