@@ -62,14 +62,27 @@ def main(argv=None) -> None:
         import sys
         from pathlib import Path
 
-        manifest = Path(args.output) / "_manifest"
-        if manifest.exists():
+        # ALL resume state must go together: the manifest, the staged-input
+        # copy + its commit marker (else a fresh --stage-input run silently
+        # reuses STALE staged data even when --input changed), and the data
+        # dir (else buckets the new input leaves empty survive dynamic
+        # partition overwrite from the prior run).
+        out = Path(args.output)
+        state = [out / "_manifest", out / "_staged",
+                 out / "_staged.committed", out / "data"]
+        existing = [p for p in state if p.exists()]
+        if existing:
             if not args.overwrite:
                 sys.exit(
-                    f"output {args.output} already has a checkpoint manifest; "
-                    "pass --resume to continue it or --overwrite to discard it"
+                    f"output {args.output} already has run state "
+                    f"({', '.join(p.name for p in existing)}); pass --resume "
+                    "to continue it or --overwrite to discard all of it"
                 )
-            shutil.rmtree(manifest)
+            for p in existing:
+                if p.is_dir():
+                    shutil.rmtree(p)
+                else:
+                    p.unlink()
 
     from pyspark.sql import SparkSession
 

@@ -148,8 +148,17 @@ def _ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if 0 < n_files >= target:
+    if n_files >= target:
         return df
+    if n_files == 0:
+        # In-memory / post-shuffle DataFrame (no file metadata): only add an
+        # exchange when the plan is genuinely under-parallel — never
+        # down-shuffle one that already has enough partitions.
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
     return df.repartition(target)
 
 

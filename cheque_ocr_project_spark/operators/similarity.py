@@ -152,17 +152,30 @@ IVF_PIVOT_MOD = (1 << 31) - 1
 def ivf_pivots(emb: DataFrame, n_pivots: int = 16, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Deterministic pivot selection: the ``n_pivots`` vectors with the
-    smallest ``(id * mix) mod P`` — a seeded data sample with no iterative
-    clustering, so the DuckDB oracle selects the identical set. (A Lloyd
-    refinement would improve cell balance but is intentionally omitted to
-    keep the index exactly recomputable; this is IVF-flat with hash-sampled
-    centroids.)"""
-    rank_key = F.pmod(F.col(id_col) * IVF_PIVOT_MIX, F.lit(IVF_PIVOT_MOD))
-    w = Window.orderBy(rank_key.asc(), F.col(id_col).asc())
+    smallest ``((id mod P) * mix) mod P`` — a seeded data sample with no
+    iterative clustering, so the DuckDB oracle selects the identical set.
+    (A Lloyd refinement would improve cell balance but is intentionally
+    omitted to keep the index exactly recomputable; this is IVF-flat with
+    hash-sampled centroids.)
+
+    Scale notes: ``orderBy(...).limit(n)`` plans as a distributed
+    TakeOrderedAndProject (per-partition top-n, then a tiny merge on the
+    driver) — no single-partition window, so the full table never funnels
+    through one task. The id is reduced mod P *before* the multiply so the
+    64-bit product cannot overflow (max (P-1)*mix < 2^62.3); ids are assumed
+    non-negative (the DuckDB oracle uses ``%``, which differs from pmod on
+    negatives)."""
+    rank_key = F.pmod(
+        F.pmod(F.col(id_col), F.lit(IVF_PIVOT_MOD)) * IVF_PIVOT_MIX,
+        F.lit(IVF_PIVOT_MOD),
+    )
     return (
-        emb.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_pivots)
-        .select(F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pvec"))
+        emb.select(F.col(id_col).alias("pivot_id"),
+                   F.col(vec_col).alias("pvec"),
+                   rank_key.alias("__rk"))
+        .orderBy(F.col("__rk").asc(), F.col("pivot_id").asc())
+        .limit(n_pivots)
+        .select("pivot_id", "pvec")
     )
 
 

@@ -238,8 +238,11 @@ def q_issuer_auth_account_grammar(spark, sf_dir):
         u.contains("A/C"),                      # ...\s+\d+\s+A/C
         u.contains("A/C"),                      # ...A/C\.?\s+NO
         u.rlike(r"\d{10}"),                     # ...\s+\d{10,20}
-        u.contains("CURRENT A/C"),
-        u.contains("SAVINGS A/C"),
+        # guard on the single words, not the two-word literal: the regexes
+        # allow any whitespace run (CURRENT\s+A/C), so 'CURRENT  A/C' must
+        # still pass the prefilter (oracle SQL has no guard at all)
+        u.contains("CURRENT") & u.contains("A/C"),
+        u.contains("SAVINGS") & u.contains("A/C"),
     ]
 
     def first_match(patterns, guards):

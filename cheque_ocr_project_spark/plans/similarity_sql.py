@@ -94,7 +94,7 @@ def sql_ann_ivf_topk(k: int = 5, n_pivots: int = 16, nprobe: int = 4) -> str:
     return f"""
 WITH pivots AS (
   SELECT vec_id AS pivot_id, embedding AS pvec FROM embeddings
-  ORDER BY (vec_id * {IVF_PIVOT_MIX}) % {IVF_PIVOT_MOD} ASC, vec_id ASC
+  ORDER BY ((vec_id % {IVF_PIVOT_MOD}) * {IVF_PIVOT_MIX}) % {IVF_PIVOT_MOD} ASC, vec_id ASC
   LIMIT {n_pivots}
 ),
 q AS (

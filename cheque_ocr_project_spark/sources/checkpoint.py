@@ -110,7 +110,7 @@ def run_with_checkpoint(
     ``<output>/_staged`` partitioned by bucket, and every wave reads only
     its own partitions (partition pruning; total I/O = one write + one
     read regardless of wave count — the right mode at 100 TB). The staged
-    copy is reused on resume when its ``_SUCCESS`` marker exists.
+    copy is reused on resume when its ``_staged.committed`` marker exists.
 
     ``_fail_after_waves`` is a test hook simulating a mid-run driver crash
     AFTER that many wave commits.
@@ -161,30 +161,46 @@ def run_with_checkpoint(
         result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_dir)
         wall_ms = int((time.perf_counter() - t0) * 1000)
 
-        # Metrics from the committed data (not the in-flight plan).
-        committed = spark.read.parquet(data_dir).filter(
-            F.col(BUCKET_COL).isin(wave_ids)
-        )
-        stats = committed.groupBy(BUCKET_COL).agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(byte_size).alias("bytes"),
-        )
+        # Metrics from the committed data (not the in-flight plan). A run
+        # whose every wave so far produced zero rows has an unreadable data
+        # dir (no parquet footers to infer from) — stats is then empty, not
+        # an error.
+        try:
+            committed = spark.read.parquet(data_dir).filter(
+                F.col(BUCKET_COL).isin(wave_ids)
+            )
+            stats = committed.groupBy(BUCKET_COL).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(byte_size).alias("bytes"),
+            )
+        except Exception:
+            stats = spark.createDataFrame(
+                [], f"{BUCKET_COL} long, rows long, bytes long"
+            )
         fps = input_fingerprints(wave_in)
-        per_bucket = stats.join(fps, BUCKET_COL, "left").collect()
-
-        entries = [
-            {
-                "bucket": int(r[BUCKET_COL]),
-                "rows": int(r["rows"]),
-                "bytes": int(r["bytes"]),
+        # Key the entries on the ATTEMPTED bucket ids, not the committed
+        # output: a bucket whose extraction yields zero output rows must
+        # still be committed to the manifest (rows/bytes = 0), else it is
+        # re-processed on every resume forever and processed_buckets
+        # overcounts. fps covers every wave_id (each has >=1 input row by
+        # construction); stats may not (zero-output buckets).
+        per_bucket = {
+            int(r[BUCKET_COL]): r
+            for r in fps.join(stats, BUCKET_COL, "left").collect()
+        }
+        entries = []
+        for b in wave_ids:
+            r = per_bucket[int(b)]
+            entries.append({
+                "bucket": int(b),
+                "rows": int(r["rows"]) if r["rows"] is not None else 0,
+                "bytes": int(r["bytes"]) if r["bytes"] is not None else 0,
                 "input_fingerprint": int(r["input_fingerprint"]),
                 "input_rows": int(r["input_rows"]),
                 "wall_ms": wall_ms,
                 "wave": waves,
                 "engine": engine,
-            }
-            for r in per_bucket
-        ]
+            })
         append_manifest(output_dir, entries)
         total_rows += sum(e["rows"] for e in entries)
         waves += 1

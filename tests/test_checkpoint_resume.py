@@ -57,6 +57,41 @@ def test_manifest_metrics_cover_all_rows(spark, transcripts_sdf, fixture_data, t
     assert total == transcripts_sdf.count()
 
 
+def test_zero_output_bucket_still_committed(spark, transcripts_sdf,
+                                            fixture_data, tmp_path,
+                                            monkeypatch):
+    """A bucket whose extraction yields ZERO output rows must still get a
+    manifest entry (rows=0), or resume re-processes it forever and
+    processed_buckets overcounts."""
+    from cheque_ocr_project_spark.plans import pipeline as P
+
+    _t, _m, dd = fixture_data
+    out = str(tmp_path / "out_zero")
+
+    real = P.extract_pipeline
+
+    def dropping_pipeline(spark_, df, *a, **kw):
+        # emit nothing for any turn of conversations hashing into the test
+        # slice — deterministic, bucket-aligned zero-output simulation
+        return real(spark_, df, *a, **kw).filter(F.lit(False))
+
+    monkeypatch.setattr(P, "extract_pipeline", dropping_pipeline)
+    stats = CP.run_with_checkpoint(spark, transcripts_sdf, dd, out,
+                                   n_buckets=4, wave_size=2)
+    assert stats["processed_buckets"] == 4
+    entries = CP.read_manifest(out)
+    assert {e["bucket"] for e in entries} == set(range(4))
+    assert all(e["rows"] == 0 and e["bytes"] == 0 for e in entries)
+    assert all(e["input_rows"] > 0 for e in entries)
+
+    # resume: every attempted bucket is committed — nothing left to do
+    monkeypatch.setattr(P, "extract_pipeline", real)
+    stats2 = CP.run_with_checkpoint(spark, transcripts_sdf, dd, out,
+                                    n_buckets=4)
+    assert stats2["processed_buckets"] == 0
+    assert stats2["skipped_buckets"] == 4
+
+
 def test_merge_upsert_semantics(spark):
     target = spark.createDataFrame(
         [("c1", 0, "OLD", "X"), ("c1", 1, "OLD", "X"), ("c2", 0, "OLD", "X")],
@@ -139,8 +174,10 @@ def test_read_transcripts_csv_and_json(spark, fixture_data, tmp_path):
 
 
 def test_job_refuses_silent_manifest_overwrite(tmp_path, monkeypatch):
-    """A fresh run into an output with an existing manifest must fail
-    without --overwrite (and must not delete it)."""
+    """A fresh run into an output with existing run state must fail without
+    --overwrite (and must not delete it); --overwrite must discard ALL
+    resume state — manifest, staged input + marker, and the data dir — so a
+    fresh --stage-input run can never reuse a stale staged copy."""
     import pytest
 
     from cheque_ocr_project_spark import job
@@ -149,6 +186,14 @@ def test_job_refuses_silent_manifest_overwrite(tmp_path, monkeypatch):
     manifest = out / "_manifest"
     manifest.mkdir(parents=True)
     (manifest / "commit-1-1.json").write_text('{"bucket": 0, "rows": 1}\n')
+    staged = out / "_staged"
+    staged.mkdir()
+    (staged / "bucket=0").mkdir()
+    marker = out / "_staged.committed"
+    marker.write_text("ok\n")
+    data = out / "data"
+    data.mkdir()
+    (data / "bucket=7").mkdir()
 
     argv = ["--input", "/nonexistent", "--output", str(out)]
     # SparkSession would be built before the guard — stub it out
@@ -159,14 +204,16 @@ def test_job_refuses_silent_manifest_overwrite(tmp_path, monkeypatch):
             raise AssertionError("must exit before touching Spark IO")
 
     monkeypatch.setattr(pq.SparkSession, "builder", _Boom(), raising=False)
-    with pytest.raises(SystemExit, match="checkpoint manifest"):
+    with pytest.raises(SystemExit, match="already has run state"):
         job.main(argv)
-    assert manifest.exists()  # nothing deleted
+    assert manifest.exists() and staged.exists()  # nothing deleted
+    assert marker.exists() and data.exists()
 
-    # --overwrite deletes the manifest and proceeds to (stubbed) Spark
+    # --overwrite deletes every piece of state and proceeds to (stubbed) Spark
     with pytest.raises(AssertionError, match="must exit before"):
         job.main(argv + ["--overwrite"])
-    assert not manifest.exists()
+    assert not manifest.exists() and not staged.exists()
+    assert not marker.exists() and not data.exists()
 
 
 def test_staged_input_waves(spark, transcripts_sdf, fixture_data, tmp_path):
