@@ -46,12 +46,40 @@ def count_matching(col: Column, char_class: str) -> Column:
     return F.length(F.regexp_replace(F.coalesce(col, F.lit("")), f"[^{char_class}]", ""))
 
 
+# java.util.regex perf cliff (measured, PLANS.md round 3): scanning a negated
+# class with 3+ components ([^A-Z0-9 ]) costs ~40x a 1-2 range class — even
+# with ZERO matches — so hot-path char counting goes through translate()
+# (constant char table, no regex) and hot-path class replaces are guarded by
+# a translate-based dirty check. Bit-identical: translate deletes exactly the
+# listed chars.
+_ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGIT_CHARS = "0123456789"
+
+
+def count_chars(col: Column, chars: str) -> Column:
+    """Number of characters of col in the literal char set (0 for null) —
+    translate-based fast path equal to count_matching for literal sets."""
+    c = F.coalesce(col, F.lit(""))
+    return F.length(c) - F.length(F.translate(c, chars, ""))
+
+
+def replace_not_in(col: Column, chars: str, char_class: str,
+                   replacement: str) -> Column:
+    """= regexp_replace(col, '[^<char_class>]', replacement), with the regex
+    run only on rows that actually contain an out-of-set char (translate
+    dirty check; most cleaned OCR rows are already in-set)."""
+    dirty = F.length(F.translate(col, chars, "")) > 0
+    return F.when(
+        dirty, F.regexp_replace(col, f"[^{char_class}]", replacement)
+    ).otherwise(col)
+
+
 def n_alpha(col: Column) -> Column:
-    return count_matching(col, "A-Za-z")
+    return count_chars(col, _ALPHA_CHARS)
 
 
 def n_digit(col: Column) -> Column:
-    return count_matching(col, "0-9")
+    return count_chars(col, _DIGIT_CHARS)
 
 
 # --------------------------------------------------------------------------
@@ -62,7 +90,8 @@ def clean_text_v1(col: Column) -> Column:
     """= oracle.cleaning.clean_text_v1 (issuer_processor_v.py:208-218)."""
     s = F.upper(col)
     s = F.translate(s, "01|5", "OIIS")
-    s = F.regexp_replace(s, r"[^A-Z0-9 .,&/-]", " ")
+    s = replace_not_in(s, "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,&/-",
+                       "A-Z0-9 .,&/-", " ")
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return F.when(col.isNull() | (F.length(col) == 0), F.lit("XXX")).otherwise(s)
 
@@ -72,7 +101,8 @@ def clean_text_v3(col: Column) -> Column:
     s = F.upper(col)
     s = F.translate(s, "|!015", "IIOIS")
     s = F.replace(s, F.lit("8"), F.lit("B"))
-    s = F.regexp_replace(s, r"[^A-Za-z0-9 ,.&/-]", " ")
+    s = replace_not_in(s, _ALPHA_CHARS + "0123456789 ,.&/-",
+                       "A-Za-z0-9 ,.&/-", " ")
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return F.when(col.isNull() | (F.length(col) == 0), F.lit("")).otherwise(s)
 
@@ -100,7 +130,9 @@ def clean_payee(col: Column) -> Column:
         s = F.replace(s, F.lit(ch), F.lit(repl))
     s = _chain_regex_strip(s, vocab.COMPANY_SUFFIX_PATTERNS)
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
-    s = F.regexp_replace(s, r"[^\w\s\.\-]", "")
+    # Java \w = [A-Za-z0-9_], \s = [ \t\n\x0b\f\r] (ASCII; no UNICODE flag)
+    s = replace_not_in(s, _ALPHA_CHARS + "0123456789_ \t\n\x0b\f\r.-",
+                       r"\w\s\.\-", "")
     return F.when(
         col.isNull() | (F.length(col) == 0) | (F.length(s) < 2), F.lit("XXX")
     ).otherwise(s)
@@ -114,7 +146,8 @@ def correct_spelling_ai(col: Column) -> Column:
     for word in vocab.GARBAGE_WORDS:
         s = F.replace(s, F.lit(word), F.lit(""))
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
-    s = F.regexp_replace(s, r"[^A-Z\s]", "")
+    s = replace_not_in(s, "ABCDEFGHIJKLMNOPQRSTUVWXYZ \t\n\x0b\f\r",
+                       r"A-Z\s", "")
     titled = initcap_lower(s)
     return F.when(col.isNull() | (F.length(col) == 0), F.lit("UNKNOWN")).otherwise(
         F.when(F.length(s) >= 3, titled).otherwise(F.lit("UNKNOWN"))
@@ -189,9 +222,9 @@ def is_valid_drawer_v1(text: Column) -> Column:
     # Python str.split(): any-whitespace split, empty tokens dropped
     words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
     has_ms = t.contains("M/S")  # "M/S." ⊂ "M/S" containment
-    dot_count = total - F.length(F.regexp_replace(t, r"\.", ""))
+    dot_count = count_chars(t, ".")
     hyphen_parts = F.size(F.split(t, "-"))
-    alpha_after_dot_strip = n_alpha(F.regexp_replace(t, r"\.", ""))
+    alpha_after_dot_strip = n_alpha(F.translate(t, ".", ""))
 
     reject = (
         is_junk_v1(t)
@@ -227,7 +260,8 @@ def looks_like_real_name(text: Column) -> Column:
     letters = n_alpha(t)
     digits = n_digit(t)
     total = F.length(t)
-    special = total - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    # chars outside [A-Za-z0-9 ] == what translate leaves after deleting them
+    special = F.length(F.translate(t, _ALPHA_CHARS + "0123456789 ", ""))
     u = F.upper(t)
     # Python str.split(): any-whitespace split, empty tokens dropped
     words = F.filter(F.split(u, r"\s+"), lambda w: w != "")

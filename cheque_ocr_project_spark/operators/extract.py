@@ -47,7 +47,12 @@ def fuzzy_match_candidates(spark: SparkSession, candidates: DataFrame,
     def match_batch(pdf_iter):
         dd = bc.value
         for pdf in pdf_iter:
-            texts = pdf[text_col]
+            # Null candidates are dropped Python-side (free) so callers can
+            # pass a null-including distinct set without a Catalyst filter —
+            # a filter on a computed candidate column gets predicate-pushed
+            # below the producing projection and re-inlines its whole
+            # expression tree (the hybrid engine relies on this).
+            texts = pdf[text_col].dropna().reset_index(drop=True)
             matched = []
             sims = []
             for t in texts:
@@ -63,6 +68,46 @@ def fuzzy_match_candidates(spark: SparkSession, candidates: DataFrame,
     return candidates.select(F.col(text_col)).distinct().mapInPandas(
         match_batch, schema=FUZZY_SCHEMA
     )
+
+
+FUZZY_STRUCT = T.StructType([
+    T.StructField("matched_name", T.StringType()),
+    T.StructField("similarity", T.DoubleType()),
+])
+
+
+def fuzzy_match_udf(spark: SparkSession, drawer_dict: list[str]):
+    """Scalar Arrow-batched difflib matcher: cand -> (matched_name, sim).
+
+    Inline alternative to ``fuzzy_match_candidates`` + broadcast join: the
+    hybrid engine calls this directly on the candidate column, so the fuzzy
+    step needs NO extra input scan, NO distinct shuffle, and NO broadcast —
+    one Arrow hop carrying only the (short) candidate strings. Matching is
+    memoized per batch series (J6: distinct-before-expensive-op, done
+    Python-side where it's a dict lookup), mirroring the reference's
+    match_cache (issuer_processor_v.py:359-375). Nulls pass through as
+    (null, null)."""
+    bc = spark.sparkContext.broadcast(drawer_dict)
+
+    @F.pandas_udf(FUZZY_STRUCT)
+    def match(cands: pd.Series) -> pd.DataFrame:
+        dd = bc.value
+        memo: dict = {}
+        names, sims = [], []
+        for c in cands:
+            if c is None or isinstance(c, float):
+                names.append(None)
+                sims.append(None)
+                continue
+            hit = memo.get(c)
+            if hit is None:
+                hit = oracle_fuzzy.match_name_v1(c, dd)
+                memo[c] = hit
+            names.append(hit[0])
+            sims.append(hit[1])
+        return pd.DataFrame({"matched_name": names, "similarity": sims})
+
+    return match
 
 
 RESULT_SCHEMA = T.StructType([

@@ -172,97 +172,141 @@ def _payable_to_government(u: Column) -> Column:
     )
 
 
+# Literal-prefix guard per PAYEE_PATTERN (pure prefilter, regex stays
+# authoritative): every match of pattern i necessarily contains the literal,
+# and contains() is ~10x cheaper than letting the backtracking scan run on
+# rows that cannot match. None = no cheap guard (pattern 10 is ^-anchored —
+# it fails on the first non-[A-Z\s.] char, no scan).
+_PAYEE_GUARDS: tuple = (
+    ("PAY",), ("ORDER",), ("PAY",), ("BEARER",), ("BEARER",),
+    ("FAVOUR",), ("FAVOR",), ("BENEFICIARY",), ("RUPEES", "RS"), None,
+)
+
+
 def _payee_raw_col(u: Column) -> Column:
     """= oracle.grammars.extract_payee: 10 ordered patterns, first whose
-    candidate is not bank/metadata wins."""
-    chain = None
-    for p in vocab.PAYEE_PATTERNS:
-        cand = _PYSTRIP(F.regexp_extract(u, p, 1))
-        ok = u.rlike(p) & ~C.is_bank_or_metadata(cand)
-        chain = F.when(ok, cand) if chain is None else chain.when(ok, cand)
-    return chain.otherwise(F.lit(None).cast("string"))
+    candidate is not bank/metadata wins.
+
+    Array-HOF form, not a when-chain: the candidates go into one array and
+    the bank/metadata gate lives in a single `filter` lambda, so its ~40-term
+    tree is generated ONCE instead of once per pattern (10x smaller codegen
+    method — the when-chain form was a janino 64KB-limit contributor)."""
+    def hit(p: str, guards) -> Column:
+        rx = u.rlike(p)
+        if not guards:
+            return rx
+        g = C.any_term(u, guards)
+        return g & rx
+
+    cands = F.array(*[
+        F.when(hit(p, g), _PYSTRIP(F.regexp_extract(u, p, 1)))
+        for p, g in zip(vocab.PAYEE_PATTERNS, _PAYEE_GUARDS)
+    ])
+    sel = F.filter(cands, lambda c: c.isNotNull() & ~C.is_bank_or_metadata(c))
+    return F.get(sel, 0)
 
 
-def turn_level(df: DataFrame) -> DataFrame:
-    """classification + payee + fields + confidence columns (no shuffle)."""
+def _barrier(df: DataFrame) -> DataFrame:
+    """Exchange barrier on the per-turn key: materializes every column
+    computed so far so downstream expression trees reference attributes
+    instead of inlining the full derivation per reference (CollapseProject /
+    filter-pushdown otherwise re-evaluate heavy regex trees dozens of times
+    per row — the `variant_keep_best` trap, PLANS.md). Partitioning on KEYS
+    is reused by the later groupBy/join on the same keys, so the pipeline
+    pays the shuffle once."""
+    return df.repartition(*[F.col(k) for k in KEYS])
+
+
+def _field_cols(ft: Column, has_text: Column) -> dict:
+    """Field grammars (date / amount / account / MICR) over the full text."""
+    date_pat = r"Date:\s*(\d{2})[./](\d{2})[./](\d{4})"
+    amount_pat = r"[₹Rs\.]*\s*([\d,]+(?:\.\d{2})?)[/\-]?"
+    account_pat = r"A/C No\.?[\s:]*(\d{10,20})"
+    micr = vocab.MICR_PATTERN
+    has_micr = has_text & ft.rlike(micr)
+    return {
+        "field_date": F.when(
+            has_text & ft.rlike(date_pat),
+            F.concat(
+                F.regexp_extract(ft, date_pat, 1),
+                F.regexp_extract(ft, date_pat, 2),
+                F.regexp_extract(ft, date_pat, 3),
+            ),
+        ),
+        "field_amount": F.when(
+            has_text & ft.rlike(amount_pat),
+            F.replace(F.regexp_extract(ft, amount_pat, 1), F.lit(","), F.lit("")),
+        ),
+        "field_account": F.when(
+            has_text & ft.rlike(account_pat),
+            F.regexp_extract(ft, account_pat, 1),
+        ),
+        "micr_city": F.when(has_micr, F.regexp_extract(ft, micr, 1)),
+        "micr_bank": F.when(has_micr, F.regexp_extract(ft, micr, 2)),
+        "micr_serial": F.when(has_micr, F.regexp_extract(ft, micr, 3)),
+    }
+
+
+def turn_stage0(df: DataFrame) -> DataFrame:
+    """Hybrid stage 0 (B1 barrier): line stats + uppercased full text,
+    materialized behind one exchange on the per-turn key. Both the
+    classification stage AND the issuer line relation read this staged
+    output — the explode inherits the (conv_id, turn_idx) partitioning, so
+    the issuer aggregation needs no further shuffle."""
     lines = _nonblank_lines(F.col("content"))
-    full_text = F.array_join(lines, " ")
-    n_lines = F.size(lines)
     conf_sum = F.aggregate(
         lines, F.lit(0.0), lambda acc, ln: acc + _line_conf(ln)
     )
     df = (
-        df.withColumn("lines", lines)
-        .withColumn("n_lines", n_lines)
-        .withColumn("full_text", full_text)
+        df.select(*KEYS, "content")
+        .withColumn("lines", lines)
+        .withColumn("n_lines", F.size("lines"))
+        .withColumn("full_text", F.array_join("lines", " "))
         .withColumn(
             "confidence",
             F.when(F.col("n_lines") > 0, conf_sum / F.col("n_lines")).otherwise(0.0),
         )
+        .withColumn("__u", F.upper(F.col("full_text")))
     )
+    return _barrier(df)
 
-    u = F.upper(F.col("full_text"))
+
+def _flag_exprs(u, has_text) -> dict:
+    """Turn-level classification flag + payee expressions over the
+    uppercased full text (cheque_classifier.py:73-180 semantics)."""
     words_u = F.filter(F.split(u, r"\s+"), lambda w: w != "")
+    return {
+        "cat3": u.contains("GOVERNMENT ACCOUNT") | u.contains("GOVT ACCOUNT"),
+        "cat2": u.contains("NOT TRANSFERABLE") & C.any_term(
+            u, ("GOVT", "GOVERNMENT", "PAO", "DDO")
+        ),
+        "cat1": C.any_term(u, vocab.GOVT_MARKERS_HIGH) | C.any_term(
+            u, vocab.GOVT_MARKERS_MEDIUM
+        ),
+        "is_dd": C.any_term(u, vocab.DD_MARKERS),
+        "is_mc": C.any_term(u, vocab.MC_MARKERS),
+        "crossed": F.coalesce(
+            u.rlike("|".join(f"(?:{p})" for p in vocab.CROSSED_PATTERNS)),
+            F.lit(False),
+        ),
+        "is_self": u.contains("SELF") & (F.size(words_u) < 15),
+        "payee_raw": F.when(has_text, _payee_raw_col(u)).otherwise(
+            F.lit(None).cast("string")
+        ),
+    }
 
-    cat3 = u.contains("GOVERNMENT ACCOUNT") | u.contains("GOVT ACCOUNT")
-    cat2 = u.contains("NOT TRANSFERABLE") & C.any_term(
-        u, ("GOVT", "GOVERNMENT", "PAO", "DDO")
-    )
-    cat1 = C.any_term(u, vocab.GOVT_MARKERS_HIGH) | C.any_term(
-        u, vocab.GOVT_MARKERS_MEDIUM
-    )
-    is_dd = C.any_term(u, vocab.DD_MARKERS)
-    is_mc = C.any_term(u, vocab.MC_MARKERS)
-    crossed = F.coalesce(
-        u.rlike("|".join(f"(?:{p})" for p in vocab.CROSSED_PATTERNS)), F.lit(False)
-    )
-    is_self = u.contains("SELF") & (F.size(words_u) < 15)
 
-    has_text = F.col("n_lines") > 0
-    ctype = (
-        F.when(~has_text, F.lit(None).cast("string"))
-        .when(cat3, "GOVT_GOVT_ACCOUNT")
-        .when(cat2, "GOVT_NON_TRANSFERABLE")
-        .when(cat1, "GOVT_NEGOTIABLE")
-        .when(is_dd, "DEMAND_DRAFT")
-        .when(is_mc, "MANAGERS_CHEQUE")
-        .when(crossed, "CROSSED")
-        .when(is_self, "SELF")
-        .otherwise("ORDER")
-    )
-    df = df.withColumn("cheque_type", ctype)
-    df = df.withColumn(
-        "is_government",
-        F.when(~has_text, F.lit(False)).otherwise(cat3 | cat2 | cat1),
-    )
-    df = df.withColumn(
-        "government_category",
-        F.when(~has_text, F.lit(None).cast("string"))
-        .when(cat3, "III")
-        .when(cat2, "II")
-        .when(cat1, "I")
-        .otherwise(F.lit(None).cast("string")),
-    )
-    df = df.withColumn(
-        "payee_rule",
-        F.when(~has_text, F.lit(None).cast("string"))
-        .when(cat3, "government_account")
-        .when(cat2, "government_officer")
-        .when(cat1, "government_contractor")
-        .when(is_dd, "dd_standard")
-        .when(is_mc, "mc_standard")
-        .when(crossed, "account_payee")
-        .when(is_self, "self")
-        .otherwise("standard"),
-    )
+def _classification_cols(fl: dict, has_text, payee_raw,
+                         designation) -> dict:
+    """cheque_type / government / payee_rule / payee_cleaned from flag
+    Columns (attribute refs in the staged engines, raw expressions in the
+    collapsed native plan). ``payee_cleaned`` tests the flag disjunction
+    directly (== the is_government column under has_text)."""
+    cat3, cat2, cat1 = fl["cat3"], fl["cat2"], fl["cat1"]
+    is_dd, is_mc = fl["is_dd"], fl["is_mc"]
+    crossed, is_self = fl["crossed"], fl["is_self"]
 
-    payee_raw = F.when(has_text, _payee_raw_col(u)).otherwise(
-        F.lit(None).cast("string")
-    )
-    df = df.withColumn("payee_raw", payee_raw)
-
-    designation = _designation_literal(u)
-    payee_raw_u = F.upper(F.coalesce(F.col("payee_raw"), F.lit("")))
+    payee_raw_u = F.upper(F.coalesce(payee_raw, F.lit("")))
     gov_payee = (
         F.when(cat3, F.lit("GOVERNMENT"))
         .when(
@@ -274,57 +318,84 @@ def turn_level(df: DataFrame) -> DataFrame:
             .when(
                 (F.length(payee_raw_u) > 0)
                 & C.any_term(payee_raw_u, vocab.OFFICER_DESIGNATIONS),
-                F.concat(F.lit("GOVERNMENT - "), F.col("payee_raw")),
+                F.concat(F.lit("GOVERNMENT - "), payee_raw),
             )
             .otherwise(F.lit("GOVERNMENT OFFICER")),
         )
         .otherwise(  # category I
-            F.when(_is_government_entity(F.col("payee_raw")), F.lit("GOVERNMENT"))
-            .otherwise(F.coalesce(F.col("payee_raw"), F.lit("XXX")))
+            F.when(_is_government_entity(payee_raw), F.lit("GOVERNMENT"))
+            .otherwise(F.coalesce(payee_raw, F.lit("XXX")))
         )
     )
-    df = df.withColumn(
-        "payee_cleaned",
-        F.when(~has_text, F.lit("XXX"))
-        .when(F.col("is_government"), gov_payee)
-        .when(F.col("payee_raw").isNotNull(), C.clean_payee(F.col("payee_raw")))
-        .otherwise(F.lit("XXX")),
-    )
+    return {
+        "cheque_type": (
+            F.when(~has_text, F.lit(None).cast("string"))
+            .when(cat3, "GOVT_GOVT_ACCOUNT")
+            .when(cat2, "GOVT_NON_TRANSFERABLE")
+            .when(cat1, "GOVT_NEGOTIABLE")
+            .when(is_dd, "DEMAND_DRAFT")
+            .when(is_mc, "MANAGERS_CHEQUE")
+            .when(crossed, "CROSSED")
+            .when(is_self, "SELF")
+            .otherwise("ORDER")
+        ),
+        "is_government": F.when(~has_text, F.lit(False)).otherwise(
+            cat3 | cat2 | cat1
+        ),
+        "government_category": (
+            F.when(~has_text, F.lit(None).cast("string"))
+            .when(cat3, "III")
+            .when(cat2, "II")
+            .when(cat1, "I")
+            .otherwise(F.lit(None).cast("string"))
+        ),
+        "payee_rule": (
+            F.when(~has_text, F.lit(None).cast("string"))
+            .when(cat3, "government_account")
+            .when(cat2, "government_officer")
+            .when(cat1, "government_contractor")
+            .when(is_dd, "dd_standard")
+            .when(is_mc, "mc_standard")
+            .when(crossed, "account_payee")
+            .when(is_self, "self")
+            .otherwise("standard")
+        ),
+        "payee_cleaned": (
+            F.when(~has_text, F.lit("XXX"))
+            .when(cat3 | cat2 | cat1, gov_payee)
+            .when(payee_raw.isNotNull(), C.clean_payee(payee_raw))
+            .otherwise(F.lit("XXX"))
+        ),
+    }
 
-    ft = F.col("full_text")
-    date_pat = r"Date:\s*(\d{2})[./](\d{2})[./](\d{4})"
-    df = df.withColumn(
-        "field_date",
-        F.when(
-            has_text & ft.rlike(date_pat),
-            F.concat(
-                F.regexp_extract(ft, date_pat, 1),
-                F.regexp_extract(ft, date_pat, 2),
-                F.regexp_extract(ft, date_pat, 3),
-            ),
-        ),
+
+def turn_level(df: DataFrame) -> DataFrame:
+    """classification + payee + fields + confidence columns as ONE collapsed
+    projection chain, zero shuffle — the declarative reference shape (the
+    hybrid engine stages the same expressions behind exchange barriers
+    instead; see _extract_hybrid)."""
+    lines = _nonblank_lines(F.col("content"))
+    conf_sum = F.aggregate(
+        lines, F.lit(0.0), lambda acc, ln: acc + _line_conf(ln)
     )
-    amount_pat = r"[₹Rs\.]*\s*([\d,]+(?:\.\d{2})?)[/\-]?"
-    df = df.withColumn(
-        "field_amount",
-        F.when(
-            has_text & ft.rlike(amount_pat),
-            F.replace(F.regexp_extract(ft, amount_pat, 1), F.lit(","), F.lit("")),
-        ),
-    )
-    account_pat = r"A/C No\.?[\s:]*(\d{10,20})"
-    df = df.withColumn(
-        "field_account",
-        F.when(has_text & ft.rlike(account_pat), F.regexp_extract(ft, account_pat, 1)),
-    )
-    micr = vocab.MICR_PATTERN
-    has_micr = has_text & ft.rlike(micr)
     df = (
-        df.withColumn("micr_city", F.when(has_micr, F.regexp_extract(ft, micr, 1)))
-        .withColumn("micr_bank", F.when(has_micr, F.regexp_extract(ft, micr, 2)))
-        .withColumn("micr_serial", F.when(has_micr, F.regexp_extract(ft, micr, 3)))
+        df.withColumn("lines", lines)
+        .withColumn("n_lines", F.size("lines"))
+        .withColumn("full_text", F.array_join("lines", " "))
+        .withColumn(
+            "confidence",
+            F.when(F.col("n_lines") > 0,
+                   conf_sum / F.col("n_lines")).otherwise(0.0),
+        )
     )
-
+    u = F.upper(F.col("full_text"))
+    has_text = F.col("n_lines") > 0
+    fl = _flag_exprs(u, has_text)
+    df = df.withColumn("payee_raw", fl["payee_raw"])
+    df = df.withColumns(_classification_cols(
+        fl, has_text, F.col("payee_raw"), _designation_literal(u)
+    ))
+    df = df.withColumns(_field_cols(F.col("full_text"), has_text))
     df = df.withColumn("success", has_text)
     df = df.withColumn(
         "error",
@@ -355,15 +426,216 @@ _MARKER_RX = "FOR |F/O |F/ |PROP "  # raw-scan precondition (any marker)
 _FOR_LINE_RX = "FOR |F/O |F/|PROP "  # cleaned-text FOR-branch precondition
 
 
+def _extract_hybrid(spark: SparkSession, transcripts: DataFrame,
+                    drawer_dict: list[str], threshold: float) -> DataFrame:
+    """The hybrid engine: one fused single-branch plan — native Catalyst
+    stages for cleaning / classification / grammars, an Arrow-batched UDF
+    ONLY for the difflib fuzzy dictionary match, no per-row Python anywhere.
+
+    Shape (one scan, two shuffles, zero joins):
+
+        scan → stage0 (line stats, __u)                 [exchange B1]
+          → turn flags + payee_raw + field grammars     (per-turn, native)
+          → posexplode_outer(lines) carrying turn cols  (zero-line turns kept)
+          → stext/cleaned + 3 candidate kinds           (native, one copy each)
+          → difflib fuzzy                               (Arrow UDF, memoized)
+          → ONE aggregation per turn                    [exchange: partial
+            (first(turn cols) + min(scan) + max(top1))   agg shuffles per-turn
+          → gates + classification chains → result       rows only]
+
+    Design constraints baked in (measured the hard way; PLANS.md round 3):
+    - No Catalyst filter may reference a computed candidate column
+      (predicate pushdown re-inlines the whole tree below the barrier);
+      null-dropping happens inside min/max/first aggregates and inside the
+      fuzzy UDF batch.
+    - Multi-referenced regex-bearing aliases (cleaned, payee_raw, __u) are
+      materialized behind the B1 exchange or kept single-reference;
+      cheap-looking aliases (upper/contains chains) DO get inlined by
+      CollapseProject, so anything referenced by fan-out when-chains crosses
+      an aggregation or exchange boundary first.
+    - The aggregation folds the former scan-hit/top-1/turn-join trio into
+      one partial-aggregated shuffle of per-turn rows: min over
+      (line_idx, name, conf) == min_by(line_idx) since line_idx is unique
+      per turn; max over (score, -line_idx, name, conf) == max_by with the
+      stable-sort tiebreak since (score, -line_idx) is a total order.
+
+    Reference lifecycle this mirrors: issuer_processor_v.py:378-496.
+    """
+    s0 = turn_stage0(with_main_content(transcripts))
+    u = F.col("__u")
+    has_text = F.col("n_lines") > 0
+    fl = _flag_exprs(u, has_text)
+    flagged = s0.withColumns({
+        "cat3": fl["cat3"], "cat2": fl["cat2"], "cat1": fl["cat1"],
+        "is_dd": fl["is_dd"], "is_mc": fl["is_mc"],
+        "crossed": fl["crossed"], "is_self": fl["is_self"],
+        "payee_raw": fl["payee_raw"],
+        **_field_cols(F.col("full_text"), has_text),
+    }).drop("full_text")
+
+    # Line relation CARRYING the turn-level columns (the aggregation brings
+    # them back with first(); all rows of a turn hold identical values).
+    # posexplode_outer keeps zero-line turns as one null-line row, which
+    # yields no candidate (clean_text_v1(null) = 'XXX' fails validity) and
+    # so gates to the same XXX/0.0 the old left join produced.
+    ex = flagged.select(
+        "*", F.posexplode_outer("lines").alias("line_idx", "raw_line")
+    ).drop("lines")
+    ex = ex.withColumns({
+        "conf": _line_conf(F.col("raw_line")),
+        "stext": _PYSTRIP(F.col("raw_line")),
+        "cleaned": C.clean_text_v1(_PYSTRIP(F.col("raw_line"))),
+    }).drop("raw_line")
+
+    cleaned = F.col("cleaned")
+    u_raw = F.upper(F.col("stext"))
+
+    # FOR-scan short-circuit (raw text): first marker (list order) whose raw
+    # suffix passes looks_like_real_name, at >= threshold confidence
+    # (issuer_processor_v.py:474-481). Array-HOF: the name predicate is
+    # generated once, inside the filter lambda, and only evaluated on the
+    # rare marker lines behind the rlike prefilter.
+    scan_pots = F.array(*[
+        F.when(u_raw.contains(m), _for_suffix(F.col("stext"), u_raw, m))
+        for m in vocab.FOR_MARKERS
+    ])
+    scan_sel = F.filter(
+        scan_pots, lambda p: p.isNotNull() & C.looks_like_real_name(p)
+    )
+    scan_cand = F.when(
+        u_raw.rlike(_MARKER_RX) & (F.col("conf") >= threshold),
+        F.get(scan_sel, 0),
+    )
+
+    # FOR-branch candidates (cleaned text): first marker whose suffix is a
+    # valid drawer; validity tree generated once, evaluated on marker lines.
+    for_pots = F.array(*[
+        F.when(
+            cleaned.contains(m),
+            _PYSTRIP(F.substr(cleaned, F.instr(cleaned, m) + len(m))),
+        )
+        for m in vocab.FOR_MARKERS
+    ])
+    for_sel = F.filter(
+        for_pots, lambda p: p.isNotNull() & C.is_valid_drawer_v1(p)
+    )
+    is_for_line = cleaned.rlike(_FOR_LINE_RX)
+    for_cand = F.when(is_for_line, F.get(for_sel, 0))
+    normal_cand = F.when(~is_for_line & C.is_valid_drawer_v1(cleaned), cleaned)
+
+    cand_lines = ex.withColumns({
+        "scan_cand": scan_cand,
+        "cand": F.coalesce(for_cand, normal_cand),
+        "is_for": F.when(is_for_line, for_cand.isNotNull()).otherwise(F.lit(False)),
+    }).drop("stext", "cleaned")
+
+    # Inline Arrow-batched difflib match on the normal candidates (memoized
+    # per batch — J6): the only bytes crossing the Python boundary are the
+    # short candidate strings; for-rows and candidate-less rows pass null.
+    fuzzy = X.fuzzy_match_udf(spark, drawer_dict)
+    scored = cand_lines.withColumn(
+        "__fz", fuzzy(F.when(~F.col("is_for"), F.col("cand")))
+    )
+    matched = F.col("__fz.matched_name")
+    final_text = F.when(F.col("is_for"), F.col("cand")).otherwise(
+        F.coalesce(matched, F.col("cand"))
+    )
+    words = F.filter(F.split(final_text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    wc_boost = F.when((n_words >= 2) & (n_words <= 4), F.lit(0.15)).otherwise(0.0)
+    common_boost = 0.1 * C.common_name_part_count(words)
+    susp = C.any_term(final_text, vocab.SUSPICIOUS_SCORE_TERMS)
+    match_boost = F.when(
+        matched.isNotNull(), 0.20 + (0.25 * F.col("__fz.similarity"))
+    ).otherwise(0.0)
+    # Same left-assoc float order as the oracle: conf+match, +wc, +common, -susp
+    normal_score = (
+        (((F.col("conf") + match_boost) + wc_boost) + common_boost)
+        - F.when(susp, 0.40).otherwise(0.0)
+    )
+    score = F.when(F.col("is_for"), F.col("conf") + 0.3).otherwise(normal_score)
+
+    turn_cols = [
+        "content", "n_lines", "confidence", "__u",
+        "cat3", "cat2", "cat1", "is_dd", "is_mc", "crossed", "is_self",
+        "payee_raw", "field_date", "field_amount", "field_account",
+        "micr_city", "micr_bank", "micr_serial",
+    ]
+    per_turn = scored.groupBy(*KEYS).agg(
+        *[F.first(c).alias(c) for c in turn_cols],
+        F.min(
+            F.when(
+                F.col("scan_cand").isNotNull(),
+                F.struct(
+                    F.col("line_idx").alias("idx"),
+                    F.col("scan_cand").alias("name"),
+                    F.col("conf").alias("conf"),
+                ),
+            )
+        ).alias("scan_s"),
+        F.max(
+            F.when(
+                F.col("cand").isNotNull(),
+                F.struct(
+                    score.alias("score"),
+                    (-F.col("line_idx")).alias("neg_idx"),
+                    final_text.alias("name"),
+                    F.col("conf").alias("conf"),
+                ),
+            )
+        ).alias("top_s"),
+    )
+
+    xxx = F.struct(F.lit("XXX").alias("name"), F.lit(0.0).alias("conf"))
+    best_text = F.col("top_s.name")
+    best_conf = F.col("top_s.conf")
+    gated = (
+        F.when(
+            F.col("scan_s").isNotNull(),
+            F.struct(
+                F.col("scan_s.name").alias("name"),
+                F.col("scan_s.conf").alias("conf"),
+            ),
+        )
+        .when(F.col("top_s").isNull(), xxx)
+        .when(best_conf < threshold, xxx)
+        .when(~C.looks_like_real_name(best_text), xxx)
+        .otherwise(F.struct(best_text.alias("name"), best_conf.alias("conf")))
+    )
+
+    has_text = F.col("n_lines") > 0
+    fl_ref = {k: F.col(k) for k in
+              ("cat3", "cat2", "cat1", "is_dd", "is_mc", "crossed", "is_self")}
+    out = per_turn.withColumns({
+        "issuer": gated.getField("name"),
+        "issuer_conf": gated.getField("conf"),
+        **_classification_cols(fl_ref, has_text, F.col("payee_raw"),
+                               _designation_literal(F.col("__u"))),
+    })
+    out = out.withColumns({
+        "main_text": F.col("content"),
+        "success": has_text,
+        "error": F.when(~has_text, F.lit("No text detected")).otherwise(
+            F.lit(None).cast("string")
+        ),
+        "status": F.when(F.col("issuer") != "XXX",
+                         F.lit("AUTO-UPDATED")).otherwise(F.lit("REJECTED")),
+        "opr_no": F.lit(vocab.FIXED_OPR_NO),
+        "file_mark": F.lit(vocab.FIXED_FILE_MARK),
+    })
+    return out.select(*RESULT_COLUMNS)
+
+
 def issuer_stage(spark: SparkSession, df_turns: DataFrame, drawer_dict: list[str],
                  threshold: float) -> DataFrame:
     """Per-turn (issuer, issuer_conf) via the V1 path (oracle parity).
 
-    Plan-shape note: the heavy validity predicates are only evaluated behind
-    cheap rlike prefilters (marker lines are rare), keeping each generated
-    codegen method small — a single projection holding N copies of the
-    drawer-validity tree blows janino's method limit and falls back to slow
-    interpreted evaluation."""
+    Three filtered branches over the line relation (scan / FOR / normal),
+    heavy predicates gated behind cheap rlike prefilters — the declarative
+    reference shape; CollapseProject + filter pushdown re-inline the
+    clean_text derivation into every predicate reference, so this shape is
+    slow but plan-minimal. The hybrid engine fuses this stage into its
+    single-branch plan instead (_extract_hybrid)."""
     lines = _line_relation(df_turns).select(
         *KEYS,
         "line_idx",
@@ -372,10 +644,10 @@ def issuer_stage(spark: SparkSession, df_turns: DataFrame, drawer_dict: list[str
         C.clean_text_v1(_PYSTRIP(F.col("raw_line"))).alias("cleaned"),
     )
 
-    # FOR-scan short-circuit: first marker (list order) whose raw-text suffix
-    # passes looks_like_real_name at >= threshold confidence — the reference
-    # keeps trying later markers on the same line when one fails
-    # (issuer_processor_v.py:474-481). Prefilter: marker presence + threshold.
+    # FOR-scan short-circuit: first marker (list order) whose raw-text
+    # suffix passes looks_like_real_name at >= threshold confidence — the
+    # reference keeps trying later markers on the same line when one
+    # fails (issuer_processor_v.py:474-481). Prefilter: marker + threshold.
     u_raw = F.upper(F.col("stext"))
     scan_base = lines.filter(
         u_raw.rlike(_MARKER_RX) & (F.col("conf") >= threshold)
@@ -424,9 +696,9 @@ def issuer_stage(spark: SparkSession, df_turns: DataFrame, drawer_dict: list[str
     )
 
     cand_lines = for_lines.unionByName(normal_lines)
+    normal_cands = normal_lines.select(F.col("cand").alias("cand_text"))
 
     # Fuzzy dictionary match over DISTINCT normal candidates (J6 memoization).
-    normal_cands = normal_lines.select(F.col("cand").alias("cand_text"))
     fuzzy = X.fuzzy_match_candidates(spark, normal_cands, drawer_dict)
     cand_lines = cand_lines.join(
         F.broadcast(fuzzy),
@@ -525,26 +797,32 @@ def extract_pipeline(spark: SparkSession, transcripts: DataFrame,
 
     engine='arrow' (default): the Arrow-batched oracle UDF — one mapInPandas
     pass, zero shuffles, per-worker compiled grammars + fuzzy memo cache.
-    Measured ~10-30x faster than engine='native' on this workload: ~150
-    regex/string ops per turn exceed what Catalyst can keep inside
-    whole-stage codegen (the fused projection blows janino's 64KB method
-    limit and falls back to interpreted eval), while CPython evaluates the
-    same grammars via precompiled `re` at C speed. This is also the
-    north-star shape: extraction logic in vectorized Arrow UDFs.
+    CPython evaluates the reference grammars via precompiled `re` at C
+    speed; this is also the north-star shape for model-holding UDFs.
 
-    engine='native': the fully-decomposed Catalyst plan (explode → native
-    predicates → distinct-candidate fuzzy join → max_by top-1). Kept as the
-    declarative reference implementation — proven bit-equal in tests — and
-    for plans where Catalyst optimizations (pushdown into the candidate
-    relation, AQE) matter more than raw expression throughput.
+    engine='hybrid': native Catalyst stages for classification / grammars /
+    cleaning fused into a single-branch plan (one scan, two shuffles, zero
+    joins — see _extract_hybrid) with exchange barriers sized so every
+    generated codegen method stays under janino's 64KB limit (compiled,
+    never interpreted), plus an Arrow-batched UDF ONLY for the difflib
+    fuzzy dictionary match (the one stage with no native equivalent). This
+    removes the per-row Python inner loop from the hot path entirely.
 
-    Both engines are tested for per-turn equality against the pure-Python
-    oracle (tests/test_pipeline_equality.py).
+    engine='native': the fully-decomposed barrier-free Catalyst plan.
+    Kept as the declarative reference implementation — proven bit-equal in
+    tests — but 10-30x slower than the others: the collapsed projections
+    blow janino's method limit and fall back to interpreted eval while
+    re-inlining heavy derivations per reference.
+
+    All three engines are tested for per-turn equality against the
+    pure-Python oracle (tests/test_pipeline_equality.py).
     """
     if salt_buckets:
         transcripts = salted_repartition(transcripts, salt_buckets=salt_buckets)
     if engine == "arrow":
         return X.extract_turns_udf(spark, transcripts, drawer_dict, threshold)
+    if engine == "hybrid":
+        return _extract_hybrid(spark, transcripts, drawer_dict, threshold)
     turns = turn_level(with_main_content(transcripts))
     issuer = issuer_stage(spark, turns, drawer_dict, threshold)
     out = turns.join(issuer, KEYS, "left")
