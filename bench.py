@@ -104,14 +104,26 @@ def main() -> None:
     transcripts = spark.read.parquet(staged)
     n_turns = transcripts.count()
     dd = Q.default_drawer_dict()
-    # warmup pass (python workers + codegen), then the measured run
-    P.extract_pipeline(spark, transcripts, dd).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    t0 = time.perf_counter()
-    out = P.extract_pipeline(spark, transcripts, dd)
-    out.write.format("noop").mode("overwrite").save()
-    flagship_sec = time.perf_counter() - t0
+    # warmup pass (python workers + codegen), then min-of-3 measured runs
+    # (same noise rationale as timed()); the hybrid engine (all-JVM stages +
+    # Arrow fuzzy UDF) is measured alongside the default Arrow engine so the
+    # engine trade-off is visible per round.
+    headline_passes: dict[str, list[float]] = {}
+    engine_secs: dict[str, float] = {}
+    for eng in ("arrow", "hybrid"):
+        P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            vals.append(round(time.perf_counter() - t0, 3))
+        engine_secs[eng] = min(vals)
+        headline_passes[f"flagship_{eng}"] = vals
+    flagship_sec = engine_secs["arrow"]
     timings["flagship_extract"] = round(flagship_sec, 3)
     turns_per_sec = n_turns / flagship_sec if flagship_sec else 0.0
 
@@ -127,19 +139,23 @@ def main() -> None:
         except Exception:
             pass
 
-    def timed(fn, passes: int = 2) -> float:
+    def timed(fn, passes: int = 2, record: str | None = None) -> float:
         """min of K passes: the shared sandbox shows intermittent multi-
-        second CPU-steal spikes that land on random queries; a spike must
-        hit the same query K times to survive min-of-K."""
-        best = float("inf")
+        second CPU-steal spikes (10-30s) that land on random queries; a
+        spike must hit the same query K times to survive min-of-K. All
+        passes are recorded for the headline set so a noise-contaminated
+        reading is visible as such instead of looking like a regression."""
+        vals = []
         for _ in range(passes):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            vals.append(round(time.perf_counter() - t0, 3))
+        if record is not None:
+            headline_passes[record] = vals
+        return round(min(vals), 3)
 
     for name in HEADLINE:
-        timings[name] = timed(registry[name])
+        timings[name] = timed(registry[name], passes=3, record=name)
 
     total = round(sum(timings.values()), 3)
 
@@ -169,6 +185,10 @@ def main() -> None:
                 "sf": sf,
                 "flagship_turns": n_turns,
                 "flagship_turns_per_sec": round(turns_per_sec, 1),
+                "flagship_hybrid_turns_per_sec": round(
+                    n_turns / engine_secs["hybrid"], 1
+                ) if engine_secs.get("hybrid") else None,
+                "headline_passes": headline_passes,
                 "cpus": CPUS,
             }
         )

@@ -185,16 +185,54 @@ def _parallel(df: DataFrame) -> DataFrame:
     return _ensure_parallelism(df.sparkSession, df)
 
 
+def cap_bucket_size(banded: DataFrame, key_col: str,
+                    max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket`` members before the
+    self-join: candidate pairs are QUADRATIC in bucket size, so one hot
+    bucket (thousands of identical boilerplate docs) can dominate the whole
+    job — the classic 100 TB LSH failure mode. Exact-dedup first (see
+    corpus_filter) removes identical docs; this cap bounds whatever skew
+    remains. One count-aggregate + one broadcast-able anti-join; a dropped
+    bucket's members can still pair through their other bands.
+
+    No silent caps: callers that enable this should surface
+    ``oversized_buckets(banded, key_col, max_bucket)`` (tiny aggregate) as
+    a logged metric alongside the result."""
+    if max_bucket is None:
+        return banded
+    big = (
+        banded.groupBy(key_col).count()
+        .filter(F.col("count") > max_bucket)
+        .select(key_col)
+    )
+    return banded.join(F.broadcast(big), key_col, "left_anti")
+
+
+def oversized_buckets(banded: DataFrame, key_col: str,
+                      max_bucket: int) -> DataFrame:
+    """(bucket key, size) of buckets over the cap — the observability twin
+    of cap_bucket_size."""
+    return banded.groupBy(key_col).count().filter(F.col("count") > max_bucket)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, threshold: float = 0.7,
-                      seed: int = DEFAULT_SEED) -> DataFrame:
+                      seed: int = DEFAULT_SEED,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     est_jaccard = fraction of equal MinHash values across the full
     signature — an unbiased Jaccard estimator. Banding: signatures split
     into ``bands`` rows-per-band groups; pairs agreeing on any whole band
-    become candidates (classic LSH S-curve)."""
+    become candidates (classic LSH S-curve).
+
+    Shuffle-payload note: the band self-join carries the full 64-long
+    signature on ONE side only; the other side joins ids, and the matching
+    signatures are re-fetched per deduped candidate — half the band-join
+    shuffle bytes of the both-sides shape. ``max_bucket`` (off by default —
+    the contract oracle recomputes the uncapped semantics) bounds hot-bucket
+    pair blowup via cap_bucket_size."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
@@ -207,21 +245,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
         ),
     )
+    banded = cap_bucket_size(banded, "band_key", max_bucket)
 
     left = banded.select(
         F.col("band_key"),
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
     )
-    right = banded.select(
-        F.col("band_key"),
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-    )
+    right = banded.select(F.col("band_key"), F.col("id").alias("id_b"))
     cand = (
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", "sig_a")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sig_b, "id_b")
     est = (
         F.size(
             F.filter(
@@ -293,14 +331,18 @@ def simhash_chunking(max_hamming: int) -> tuple[int, int]:
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Banding by bit chunks: ``n_chunks = max_hamming + 1`` chunks of
     ``ceil(62 / n_chunks)`` bits cover the signature, so any pair within
     the distance bound agrees on at least one whole chunk (pigeonhole) and
     the join only meets same-chunk rows. The chunk width is DERIVED from
-    max_hamming — the recall guarantee can never silently break."""
+    max_hamming — the recall guarantee can never silently break.
+    ``max_bucket`` (off by default) bounds hot-chunk pair blowup via
+    cap_bucket_size; the 8-byte signature rides both join sides (unlike
+    MinHash there is no wide payload to trim)."""
     n_chunks, width = simhash_chunking(max_hamming)
     mask = (1 << width) - 1
     sigs = simhash_signatures(df, id_col, text_col)
@@ -313,6 +355,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             F.expr(f"shiftrightunsigned(simhash, chunk * {width}) & {mask}"),
         ),
     )
+    banded = cap_bucket_size(banded, "chunk_key", max_bucket)
     left = banded.select("chunk_key", F.col("id").alias("id_a"),
                          F.col("simhash").alias("sim_a"))
     right = banded.select("chunk_key", F.col("id").alias("id_b"),
@@ -367,7 +410,8 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(node, component) over the near-dup pair graph; component = min
     reachable node id — the canonical "keep one document per duplicate
     cluster" primitive.
@@ -376,32 +420,43 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     to the symmetric edge list and takes the per-node min (2 shuffles per
     round); rounds needed = graph diameter, which for near-dup clusters is
     tiny (clusters are cliques-ish from LSH banding). Lineage is truncated
-    per round with localCheckpoint so the plan does not grow with the
-    iteration count (on a cluster, use reliable checkpointing instead).
+    per round so the plan does not grow with the iteration count — with
+    ``checkpoint_dir`` set, via RELIABLE ``df.checkpoint()`` to that
+    directory (survives executor loss — the right mode on a cluster);
+    otherwise via ``localCheckpoint`` (executor-lifetime blocks; fine on
+    local mode, lost executors mean lost lineage on a real cluster).
     Deterministic: the fixpoint is min-reachable-id regardless of the
     iteration schedule; raises if max_iter rounds do not converge."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    edges = _truncate(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"])
+    )
 
-    labels = (
+    labels = _truncate(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), F.col("comp"))
-        new_labels = (
+        new_labels = _truncate(
             prop.unionByName(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -146,12 +146,19 @@ SELECT component, count(*) AS n_members,
 FROM comp GROUP BY component"""
 
 
-def sql_simhash_near_dup(max_hamming: int = 3) -> str:
+def sql_simhash_near_dup(max_hamming: int = 3,
+                         max_bucket: int | None = None) -> str:
+    """SimHash twin; ``max_bucket`` mirrors dedup.cap_bucket_size exactly
+    (drop chunk buckets with more than N members before the self-join)."""
     n_chunks, width = DD.simhash_chunking(max_hamming)
     mask = (1 << width) - 1
     tok_h64 = (
         f"(({poly_sql('t', 7)}) * {DD.SIMHASH_MIX1} % {P}) * {1 << 31} "
         f"+ (({poly_sql('t', 11)}) * {DD.SIMHASH_MIX2} % {P})"
+    )
+    cap = (
+        f"\n  QUALIFY count(*) OVER (PARTITION BY chunk, ck) <= {max_bucket}"
+        if max_bucket is not None else ""
     )
     return f"""
 WITH {DOCS_WITH_NEAR_DUPS_CTE},
@@ -180,7 +187,7 @@ chunked AS (
 keyed AS (
   SELECT doc_id, simhash, chunk,
          (simhash >> (chunk * {width})) & {mask} AS ck
-  FROM chunked
+  FROM chunked{cap}
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,

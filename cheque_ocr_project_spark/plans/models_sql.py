@@ -130,3 +130,32 @@ SELECT conv_id, turn_idx, ocr_conf, ner_conf, context_conf, spelling_conf,
        0.3 * ocr_conf + 0.4 * ner_conf + 0.2 * context_conf
          + 0.1 * spelling_conf AS ensemble
 FROM parts"""
+
+
+def sql_ner_entities() -> str:
+    """U2 deterministic-fallback NER twin (operators/models._load_ner fake
+    branch): non-overlapping all-caps spans of 1-4 words (2+ letters each)
+    over text[:512].upper(); ORG iff any span word is a hint literal;
+    score = round(min(1, len/30 + 0.5), 4); first 10 spans. RE2 and Python
+    re agree on \\b + greedy {0,3} for this pattern (leftmost, greedy)."""
+    pat = r"\b([A-Z][A-Z]+(?:\s+[A-Z][A-Z]+){0,3})\b"
+    hints = ", ".join(D.q(h) for h in M._FAKE_ORG_HINTS)
+    return f"""
+WITH t AS (
+  SELECT {TRANSCRIPT_KEYS},
+         regexp_extract_all(upper(text[1:512]), {D.rx(pat)}, 1) AS spans
+  FROM documents
+),
+e AS (
+  SELECT conv_id, turn_idx,
+         unnest(range(1, len(spans) + 1)) AS i,
+         unnest(spans) AS entity
+  FROM t
+)
+SELECT conv_id, turn_idx, CAST(i - 1 AS INT) AS ent_idx, entity,
+       CASE WHEN len(list_filter(string_split(entity, ' '),
+                                 w -> w IN ({hints}))) > 0
+            THEN 'ORG' ELSE 'PER' END AS label,
+       round(least(1.0, length(entity) / 30.0 + 0.5), 4) AS score,
+       'fake' AS backend
+FROM e WHERE i <= 10"""

@@ -181,14 +181,28 @@ def q_payee_extract(spark, sf_dir):
     # Strip trailing line terminators BEFORE matching: Java '$' (non-
     # MULTILINE) also matches before a final newline while RE2 '$' matches
     # only end-of-text — normalizing the input removes the dialect gap.
-    u = F.regexp_replace(F.upper(F.col("text")), r"[\n\r]+$", "")
+    # The normalization is materialized as its own projection first: the
+    # when-chain references it ~2x per pattern x 10 patterns, and
+    # CollapseProject would otherwise inline the regexp_replace into every
+    # branch (the variant_keep_best trap). Same literal-prefix guards as
+    # the pipeline's _payee_raw_col (pure prefilter, regex authoritative).
+    from cheque_ocr_project_spark.plans.pipeline import _PAYEE_GUARDS
+
+    staged = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.upper(F.col("text")), r"[\n\r]+$", "").alias("__u"),
+    )
+    u = F.col("__u")
     chain = None
-    for p in PAYEE_PATTERNS_SQLSAFE:
+    for p, guards in zip(PAYEE_PATTERNS_SQLSAFE, _PAYEE_GUARDS):
         cand = F.trim(F.regexp_extract(u, p, 1))
-        ok = u.rlike(p) & ~C.is_bank_or_metadata(cand)
+        hit = u.rlike(p)
+        if guards:
+            hit = C.any_term(u, guards) & hit
+        ok = hit & ~C.is_bank_or_metadata(cand)
         chain = F.when(ok, cand) if chain is None else chain.when(ok, cand)
     payee = chain.otherwise(F.lit(None).cast("string"))
-    return _docs(spark, sf_dir).select("doc_id", payee.alias("payee_raw"))
+    return staged.select("doc_id", payee.alias("payee_raw"))
 
 
 def sql_payee_extract():
@@ -1054,12 +1068,21 @@ SELECT doc_id,
 FROM documents"""
 
 
+CORPUS_FILTER_MAX_BUCKET = 64
+
+
 def q_corpus_filter(spark, sf_dir):
-    """Composed pre-training corpus filter: quality >= 0.5 AND lang = 'en'
+    """Composed pre-training corpus filter: exact-dedup pre-pass (keep the
+    min-id copy of each identical text), then quality >= 0.5 AND lang = 'en'
     AND not a shadowed near-duplicate (anti-join against the SimHash pair
-    set keeps the min-id member of each pair). The anti-join is the only
-    shuffle beyond the LSH pipeline's own — the filter composition itself
-    is one scan."""
+    set, computed over the exact-dedup survivors with a bucket-size cap).
+
+    Scale shape: the exact pre-pass is the standard defense against LSH
+    hot buckets — thousands of identical boilerplate docs collapse to one
+    representative BEFORE banding, so they can never form a quadratic
+    bucket; the cap (mirrored bit-exactly by the oracle) bounds whatever
+    near-identical skew remains. One extra hash shuffle + semi-join beyond
+    the LSH pipeline's own."""
     from cheque_ocr_project_spark.operators import dedup as DD
 
     d = _docs(spark, sf_dir)
@@ -1072,10 +1095,15 @@ def q_corpus_filter(spark, sf_dir):
     quality = 0.4 * alpha_ratio + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio)
     lang_en = stop_ratio >= 0.05
 
-    pairs = DD.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    keepers = DD.exact_dedup(d, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    survivors = d.join(keepers, "doc_id", "left_semi")
+    pairs = DD.simhash_pairs(survivors, "doc_id", "text", max_hamming=3,
+                             max_bucket=CORPUS_FILTER_MAX_BUCKET)
     shadowed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = (
-        d.filter((quality >= 0.5) & lang_en)
+        survivors.filter((quality >= 0.5) & lang_en)
         .join(shadowed, "doc_id", "left_anti")
     )
     return kept.select("doc_id", F.round(quality, 6).alias("quality"))
@@ -1084,10 +1112,18 @@ def q_corpus_filter(spark, sf_dir):
 def _sql_corpus_filter():
     from cheque_ocr_project_spark.plans import dedup_sql
 
-    pair_sql = dedup_sql.sql_simhash_near_dup(3).replace(
-        dedup_sql.DOCS_WITH_NEAR_DUPS_CTE,
-        "\ndocs AS (SELECT doc_id, text FROM documents)",
-    )
+    norm = D.collapse_ws("upper(text)")
+    survivors_cte = f"""
+docs AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5({norm})) AS keeper
+    FROM documents
+  ) WHERE doc_id = keeper
+)"""
+    pair_sql = dedup_sql.sql_simhash_near_dup(
+        3, max_bucket=CORPUS_FILTER_MAX_BUCKET
+    ).replace(dedup_sql.DOCS_WITH_NEAR_DUPS_CTE, survivors_cte)
     stop_list = ", ".join(D.q(w) for w in _STOPWORDS)
     toks = "regexp_extract_all(lower(text), '[a-z]+')"
     stop_ratio = (
@@ -1100,9 +1136,16 @@ def _sql_corpus_filter():
     quality = f"0.4 * ({alpha}) + 0.3 * ({stop_ratio}) + 0.3 * (1.0 - ({punct}))"
     return f"""
 WITH pairs AS ({pair_sql}),
-shadowed AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+shadowed AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+survivors AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5({norm})) AS keeper
+    FROM documents
+  ) WHERE doc_id = keeper
+)
 SELECT doc_id, round({quality}, 6) AS quality
-FROM documents
+FROM survivors
 WHERE ({quality}) >= 0.5 AND ({stop_ratio}) >= 0.05
   AND doc_id NOT IN (SELECT doc_id FROM shadowed)"""
 
@@ -1257,6 +1300,29 @@ def _sql_zero_shot_classify():
     return models_sql.sql_zero_shot_classify()
 
 
+def q_ner_entities(spark, sf_dir):
+    """U2 NER surface (deterministic fallback in this container), exploded
+    to one row per entity so the oracle can hash scalar columns."""
+    from cheque_ocr_project_spark.operators import models as M
+
+    out = M.ner_entities(spark, documents_as_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "turn_idx",
+        F.posexplode("entities").alias("ent_idx", "e"),
+        "backend",
+    ).select(
+        "conv_id", "turn_idx", F.col("ent_idx").cast("int").alias("ent_idx"),
+        F.col("e.entity").alias("entity"), F.col("e.label").alias("label"),
+        F.col("e.score").alias("score"), "backend",
+    )
+
+
+def _sql_ner_entities():
+    from cheque_ocr_project_spark.plans import models_sql
+
+    return models_sql.sql_ner_entities()
+
+
 def q_qa_extract(spark, sf_dir):
     from cheque_ocr_project_spark.operators import models as M
 
@@ -1373,10 +1439,24 @@ REGISTRY: dict[str, tuple] = {
     "flagship_v3_nofuzzy": (q_flagship_v3_nofuzzy, _sql_flagship_v3_nofuzzy),
     "variant_keep_best": (q_variant_keep_best, sql_variant_keep_best),
     "zero_shot_classify": (q_zero_shot_classify, _sql_zero_shot_classify),
+    "ner_entities": (q_ner_entities, _sql_ner_entities),
     "qa_extract": (q_qa_extract, _sql_qa_extract),
     "t5_spell": (q_t5_spell, _sql_t5_spell),
     "model_ensemble": (q_model_ensemble, _sql_model_ensemble),
 }
+
+
+# Queries with no driver-side CORRECTNESS row in recent rounds go FIRST:
+# the driver samples a prefix of the registry, so dict order is the knob
+# that closes the sampling blind spot (VERDICT r02 item 4). Never-checked
+# queries lead, then the ones whose last green row was r01.
+_CHECK_FIRST = (
+    "fast_pattern_extract", "for_first3", "ner_entities",
+    "score_name", "govt_entity", "officer_designation", "filename_fields",
+    "line_confidence", "window_order", "clean_text_v2", "containment_match",
+    "pricing_summary", "revenue_by_nation", "top_customers",
+    "main_content_plain",
+)
 
 
 def _merged_registry() -> dict:
@@ -1384,7 +1464,9 @@ def _merged_registry() -> dict:
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_V3)
-    return merged
+    ordered = {k: merged[k] for k in _CHECK_FIRST if k in merged}
+    ordered.update({k: v for k, v in merged.items() if k not in ordered})
+    return ordered
 
 
 def queries():

@@ -402,17 +402,30 @@ def _is_govt_entity_sql(x: str) -> str:
 def q_govt_entity(spark, sf_dir):
     from cheque_ocr_project_spark.plans.pipeline import (
         _is_government_entity,
-        _payable_to_government,
         _payee_section,
     )
 
     cand = F.substring(F.col("text"), 1, 60)
     u = F.upper(F.col("text"))
-    return _docs(spark, sf_dir).select(
+    # Pre-materialize the payee section: _payable_to_government otherwise
+    # inlines the section when-chain into the ~90-literal entity scan per
+    # reference (the variant_keep_best projection-collapse trap — a vocab
+    # widening would multiply it). Two stacked projections keep the heavy
+    # derivation single-copy; CollapseProject keeps multi-referenced
+    # non-cheap aliases materialized.
+    staged = _docs(spark, sf_dir).select(
         "doc_id",
         _is_government_entity(cand).alias("is_govt_entity"),
-        _payable_to_government(u).alias("payable_to_govt"),
         _payee_section(u).alias("payee_section"),
+    )
+    sect = F.col("payee_section")
+    return staged.select(
+        "doc_id",
+        "is_govt_entity",
+        F.when(sect.isNotNull(),
+               _is_government_entity(sect)).otherwise(F.lit(False))
+        .alias("payable_to_govt"),
+        "payee_section",
     )
 
 
