@@ -110,7 +110,7 @@ def main() -> None:
     # engine trade-off is visible per round.
     headline_passes: dict[str, list[float]] = {}
     engine_secs: dict[str, float] = {}
-    for eng in ("arrow", "hybrid"):
+    for eng in ("vectorized", "arrow", "hybrid"):
         P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
             "noop"
         ).mode("overwrite").save()
@@ -185,9 +185,10 @@ def main() -> None:
                 "sf": sf,
                 "flagship_turns": n_turns,
                 "flagship_turns_per_sec": round(turns_per_sec, 1),
-                "flagship_hybrid_turns_per_sec": round(
-                    n_turns / engine_secs["hybrid"], 1
-                ) if engine_secs.get("hybrid") else None,
+                "flagship_engine_turns_per_sec": {
+                    eng: round(n_turns / sec, 1)
+                    for eng, sec in engine_secs.items()
+                },
                 "headline_passes": headline_passes,
                 "cpus": CPUS,
             }

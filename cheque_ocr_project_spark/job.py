@@ -30,7 +30,8 @@ def build_args(argv=None):
     ap.add_argument("--threshold", type=float, default=0.90)
     ap.add_argument("--n-buckets", type=int, default=64,
                     help="checkpoint/salt buckets (resume granularity)")
-    ap.add_argument("--engine", choices=["arrow", "hybrid", "native"],
+    ap.add_argument("--engine",
+                    choices=["arrow", "vectorized", "hybrid", "native"],
                     default="arrow")
     ap.add_argument("--wave-size", type=int, default=16,
                     help="buckets committed per manifest wave (crash loses "

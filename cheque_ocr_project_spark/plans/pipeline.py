@@ -795,10 +795,22 @@ def extract_pipeline(spark: SparkSession, transcripts: DataFrame,
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
     records (RESULT_COLUMNS), one row per turn.
 
-    engine='arrow' (default): the Arrow-batched oracle UDF — one mapInPandas
-    pass, zero shuffles, per-worker compiled grammars + fuzzy memo cache.
-    CPython evaluates the reference grammars via precompiled `re` at C
-    speed; this is also the north-star shape for model-holding UDFs.
+    engine='arrow' (default): one Arrow-batched mapInPandas pass running
+    the oracle per record inside the batch, with a per-task fuzzy memo
+    cache. Measured fastest end-to-end (PLANS.md round-3 engine shootout:
+    ~127k turns/s at 500k turns on 32 cores) — the branchy reference
+    grammars short-circuit aggressively per row, which per-row CPython
+    exploits better than any full-column evaluation.
+
+    engine='vectorized': the same one-pass mapInPandas shape but the batch
+    kernel is pandas/numpy SERIES operations — byte-level char counting,
+    progressive predicate masks in kill order, token-deduped word stats,
+    difflib once per distinct candidate (operators/vectorized.py). Zero
+    per-row Python in the hot path; measured ~0.65x the arrow engine here
+    (both engines sit on the same literal-scan memory wall, and pandas
+    object-dtype passes cost ~0.3us/row each), kept as the north-rule
+    "vectorized tokenize+classify" shape and for corpora where batch-level
+    vector work wins.
 
     engine='hybrid': native Catalyst stages for classification / grammars /
     cleaning fused into a single-branch plan (one scan, two shuffles, zero
@@ -814,13 +826,19 @@ def extract_pipeline(spark: SparkSession, transcripts: DataFrame,
     blow janino's method limit and fall back to interpreted eval while
     re-inlining heavy derivations per reference.
 
-    All three engines are tested for per-turn equality against the
-    pure-Python oracle (tests/test_pipeline_equality.py).
+    All engines are tested for per-turn equality against the pure-Python
+    oracle (tests/test_pipeline_equality.py).
     """
     if salt_buckets:
         transcripts = salted_repartition(transcripts, salt_buckets=salt_buckets)
     if engine == "arrow":
         return X.extract_turns_udf(spark, transcripts, drawer_dict, threshold)
+    if engine == "vectorized":
+        from cheque_ocr_project_spark.operators import vectorized as V
+
+        return V.extract_turns_vectorized(
+            spark, transcripts, drawer_dict, threshold
+        )
     if engine == "hybrid":
         return _extract_hybrid(spark, transcripts, drawer_dict, threshold)
     turns = turn_level(with_main_content(transcripts))

@@ -68,6 +68,16 @@ def test_native_pipeline_matches_oracle(spark, transcripts_sdf, fixture_data, ex
     _assert_frames_equal(out, expected, "native")
 
 
+def test_vectorized_pipeline_matches_oracle(spark, transcripts_sdf, fixture_data, expected):
+    """The DEFAULT engine: pandas-Series-vectorized batch kernel (zero
+    per-row Python) must match the oracle per turn."""
+    _t, _m, drawer_dict = fixture_data
+    out = P.extract_pipeline(
+        spark, transcripts_sdf, drawer_dict, engine="vectorized"
+    ).toPandas()
+    _assert_frames_equal(out, expected, "vectorized")
+
+
 def test_hybrid_pipeline_matches_oracle(spark, transcripts_sdf, fixture_data, expected):
     """The barrier-staged native + Arrow-fuzzy-join engine (the fast
     non-Python path) must match the oracle per turn."""
