@@ -227,11 +227,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     into ``bands`` rows-per-band groups; pairs agreeing on any whole band
     become candidates (classic LSH S-curve).
 
-    Shuffle-payload note: the band self-join carries the full 64-long
-    signature on ONE side only; the other side joins ids, and the matching
-    signatures are re-fetched per deduped candidate — half the band-join
-    shuffle bytes of the both-sides shape. ``max_bucket`` (off by default —
-    the contract oracle recomputes the uncapped semantics) bounds hot-bucket
+    Shuffle-payload note (round-3 measured trade-off): carrying both
+    signatures through the band join costs 2x the shuffle bytes but lets
+    ReuseExchange compute the signature stage ONCE (both join sides are the
+    identical subplan). The id-only variant suggested by the r02 review was
+    implemented and benchmarked: re-fetching sig_b per candidate breaks
+    exchange reuse, so the Arrow signature stage ran 3x and the query went
+    3.3s -> 8-16s at sf0.1 — reverted. ``max_bucket`` (off by default — the
+    contract oracle recomputes the uncapped semantics) bounds hot-bucket
     pair blowup via cap_bucket_size."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -251,15 +254,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col("band_key"),
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
     )
-    right = banded.select(F.col("band_key"), F.col("id").alias("id_b"))
+    right = banded.select(
+        F.col("band_key"),
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
     cand = (
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a")
+        .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    cand = cand.join(sig_b, "id_b")
     est = (
         F.size(
             F.filter(
