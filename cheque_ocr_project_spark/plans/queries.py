@@ -1068,6 +1068,35 @@ SELECT doc_id,
 FROM documents"""
 
 
+# Training-mix weights for the stratified-sample contract query: a few
+# named sources get explicit rates, everything else the default.
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+MIX_DEFAULT = 0.10
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source training-mix sampling over documents (one
+    scan, zero shuffles, growth-stable — operators/sampling.py)."""
+    from cheque_ocr_project_spark.operators import sampling as S
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    out = S.stratified_sample(d, "doc_id", "source", MIX_RATES, MIX_DEFAULT)
+    return out.select(
+        "doc_id", "source",
+        S.sample_bucket(F.col("doc_id")).cast("int").alias("bucket"),
+    )
+
+
+def sql_stratified_sample():
+    from cheque_ocr_project_spark.operators import sampling as S
+
+    b = S.sample_bucket_sql("doc_id")
+    thr = S.stratified_sample_sql("source", MIX_RATES, MIX_DEFAULT)
+    return f"""
+SELECT doc_id, source, CAST({b} AS INT) AS bucket
+FROM documents WHERE {b} < {thr}"""
+
+
 CORPUS_FILTER_MAX_BUCKET = 64
 
 
@@ -1423,6 +1452,7 @@ REGISTRY: dict[str, tuple] = {
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
     "train_val_split": (q_train_val_split, sql_train_val_split),
+    "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
@@ -1451,7 +1481,7 @@ REGISTRY: dict[str, tuple] = {
 # that closes the sampling blind spot (VERDICT r02 item 4). Never-checked
 # queries lead, then the ones whose last green row was r01.
 _CHECK_FIRST = (
-    "fast_pattern_extract", "for_first3", "ner_entities",
+    "fast_pattern_extract", "for_first3", "ner_entities", "stratified_sample",
     "score_name", "govt_entity", "officer_designation", "filename_fields",
     "line_confidence", "window_order", "clean_text_v2", "containment_match",
     "pricing_summary", "revenue_by_nation", "top_customers",

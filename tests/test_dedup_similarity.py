@@ -324,3 +324,29 @@ def test_winnowing_shared_substring_guarantee(spark):
         by_doc.setdefault(r.id, set()).add(r.fp)
     assert by_doc[0] & by_doc[1], "shared substring produced no shared fp"
     assert not (by_doc[0] & by_doc[2])
+
+
+def test_stratified_sample_deterministic_and_growth_stable(spark):
+    """Per-source mixing rates hold (+/- hash variance), zero-rate strata
+    vanish, and growing the corpus never flips an existing decision."""
+    from cheque_ocr_project_spark.operators import sampling as S
+
+    rows = [(i, f"s{i % 4}") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    kept = S.stratified_sample(df, "doc_id", "source", rates, 0.1)
+    got = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    assert got["s0"] == 5000
+    assert abs(got["s1"] - 2500) < 200
+    assert "s2" not in got
+    assert abs(got["s3"] - 500) < 100
+
+    # growth stability: the kept set over the first half is exactly the
+    # kept set of the full corpus restricted to the first half
+    half = df.filter("doc_id < 10000")
+    kept_half = {r[0] for r in
+                 S.stratified_sample(half, "doc_id", "source", rates, 0.1)
+                 .select("doc_id").collect()}
+    kept_full = {r[0] for r in kept.select("doc_id").collect()
+                 if r[0] < 10000}
+    assert kept_half == kept_full

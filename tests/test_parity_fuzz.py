@@ -154,3 +154,74 @@ def test_classify_parity(fuzz_sdf):
             f"classify diverged on {s!r}: {row.cheque_type} vs {rec['cheque_type']}"
         )
         assert row.payee_rule == rec["payee_rule"], f"payee_rule diverged on {s!r}"
+
+
+# ---------------------------------------------------------------------------
+# vectorized-engine Series twins vs oracle (pure pandas — no Spark needed)
+# ---------------------------------------------------------------------------
+
+def test_vectorized_series_twins_fuzz():
+    """The pandas-Series predicate/cleaning twins used by engine='vectorized'
+    must equal the oracle element-wise on the adversarial fuzz corpus —
+    including the byte-level counting paths (unicode inputs go through
+    clean_text_v1 first, matching the engine's usage contract)."""
+    import pandas as pd
+
+    from cheque_ocr_project_spark.operators import vectorized as V
+
+    raw = pd.Series([c for c in CASES if c is not None] + [
+        "FOR RÉSUMÉ TRADERS",   # unicode uppercase beyond ASCII
+        "PAY TO ıSTANBUL CO",        # dotless i (unicode upper edge)
+        "  NBSP LEADING", "TAB\tSEP", "A.B.C.D",
+    ])
+
+    # clean_text_v1 twin on RAW (possibly unicode) input
+    got = V.clean_v1_series(raw)
+    want = raw.map(lambda t: cleaning.clean_text_v1(t))
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"clean_v1[{i}]: {g!r} != {w!r} for {raw.iloc[i]!r}"
+
+    cleaned = want  # engine contract: these twins run on cleaned text
+
+    got = V.is_valid_drawer_v1_series(cleaned)
+    want_v = cleaned.map(predicates.is_valid_drawer_v1)
+    for i, (g, w) in enumerate(zip(got, want_v)):
+        assert bool(g) == bool(w), (
+            f"is_valid[{i}]: {g} != {w} for {cleaned.iloc[i]!r}"
+        )
+
+    got = V.is_garbage_series(cleaned)
+    want_g = cleaned.map(predicates.is_garbage)
+    for i, (g, w) in enumerate(zip(got, want_g)):
+        assert bool(g) == bool(w), (
+            f"garbage[{i}]: {g} != {w} for {cleaned.iloc[i]!r}"
+        )
+
+    got = V.looks_like_real_name_series(cleaned)
+    want_l = cleaned.map(predicates.looks_like_real_name)
+    for i, (g, w) in enumerate(zip(got, want_l)):
+        assert bool(g) == bool(w), (
+            f"looks[{i}]: {g} != {w} for {cleaned.iloc[i]!r}"
+        )
+
+    got = V.clean_payee_series(cleaned)
+    want_p = cleaned.map(cleaning.clean_payee)
+    for i, (g, w) in enumerate(zip(got, want_p)):
+        assert g == w, f"clean_payee[{i}]: {g!r} != {w!r} for {cleaned.iloc[i]!r}"
+
+    # payee extraction twin over UPPER full text (raw upper — the engine
+    # applies it to ftu which may contain any charset)
+    ftu = raw.fillna("").str.upper()
+    got = V.payee_raw_series(ftu)
+    want_x = ftu.map(grammars.extract_payee)
+    for i, (g, w) in enumerate(zip(got, want_x)):
+        ok = (pd.isna(g) and w is None) or g == w
+        assert ok, f"payee[{i}]: {g!r} != {w!r} for {ftu.iloc[i]!r}"
+
+    govt = V.is_government_entity_series(cleaned)
+    from cheque_ocr_project_spark.oracle import govrules
+    want_e = cleaned.map(govrules.is_government_entity)
+    for i, (g, w) in enumerate(zip(govt, want_e)):
+        assert bool(g) == bool(w), (
+            f"govt[{i}]: {g} != {w} for {cleaned.iloc[i]!r}"
+        )
