@@ -1068,6 +1068,115 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train/eval contamination check: a train-split document is flagged
+    when it shares winnowing fingerprints with ANY eval-split (val/test)
+    document — i.e. a common substring of length >= k + w - 1 = 35 chars
+    (the winnow guarantee), the standard n-gram leakage test before
+    pre-training. k/w are sized so incidental shared phrasing does not
+    flag everything (k=8 marks 100% of this corpus; k=20/w=16 isolates
+    genuine long overlaps).
+
+    Scale shape: fingerprints are per-doc local work; the only shuffle is
+    the fp equi-join, and the eval side (5-10% of the corpus, distinct fp
+    values only) is the natural broadcast/build side."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(F.col("doc_id") * SPLIT_MIX, F.lit(SPLIT_MOD)) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    fps = DD.winnowing_fingerprints(d, "doc_id", "text", k=20, window=16)
+    fps = fps.withColumn(
+        "split",
+        F.when(F.pmod(F.col("id") * SPLIT_MIX, F.lit(SPLIT_MOD)) % 100 < 90,
+               "train").otherwise("eval"),
+    )
+    eval_fps = (
+        fps.filter(F.col("split") != "train").select("fp").distinct()
+    )
+    shared = (
+        fps.filter(F.col("split") == "train")
+        .join(eval_fps, "fp")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    train_docs = d.select("doc_id").filter(split == "train")
+    return (
+        train_docs.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("shared_fps"), F.lit(0)).alias("shared_fps"),
+            (F.coalesce(F.col("shared_fps"), F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    fp_sql = dedup_sql.sql_winnow_fingerprint(k=20, window=16)
+    b = f"(doc_id * {SPLIT_MIX}) % {SPLIT_MOD} % 100"
+    bid = f"(id * {SPLIT_MIX}) % {SPLIT_MOD} % 100"
+    return f"""
+WITH fps AS ({fp_sql}),
+eval_fps AS (SELECT DISTINCT fp FROM fps WHERE {bid} >= 90),
+shared AS (
+  SELECT id AS doc_id, count(*) AS shared_fps
+  FROM fps JOIN eval_fps USING (fp)
+  WHERE {bid} < 90
+  GROUP BY id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(s.shared_fps, 0) AS shared_fps,
+       coalesce(s.shared_fps, 0) >= 3 AS contaminated
+FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+WHERE (d.doc_id * {SPLIT_MIX}) % {SPLIT_MOD} % 100 < 90"""
+
+
+PACK_CTX_TOKENS = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: per source, documents are laid out in
+    a deterministic order (doc_id) and assigned to fixed-size context bins
+    by exclusive prefix token count — the standard pack-to-context-length
+    layout, computed with one window over the per-source partition (NO
+    global sort; north rule W3 shape)."""
+    from pyspark.sql import Window
+
+    t = F.col("text")
+    ws_tokens = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0)))
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", ws_tokens.alias("n_tokens")
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(prefix / PACK_CTX_TOKENS).cast("int").alias("bin_id"),
+        F.pmod(prefix, F.lit(PACK_CTX_TOKENS)).cast("int").alias("bin_offset"),
+    )
+
+
+def sql_pack_sequences():
+    toks = r"len(regexp_extract_all(text, '\S+'))"
+    prefix = (
+        "coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source, {toks} AS n_tokens FROM documents)
+SELECT doc_id, source, n_tokens,
+       CAST(floor({prefix} / {PACK_CTX_TOKENS}) AS INT) AS bin_id,
+       CAST({prefix} % {PACK_CTX_TOKENS} AS INT) AS bin_offset
+FROM d"""
+
+
 # Training-mix weights for the stratified-sample contract query: a few
 # named sources get explicit rates, everything else the default.
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
@@ -1453,6 +1562,8 @@ REGISTRY: dict[str, tuple] = {
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
     "train_val_split": (q_train_val_split, sql_train_val_split),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
+    "decontaminate": (q_decontaminate, sql_decontaminate),
+    "pack_sequences": (q_pack_sequences, sql_pack_sequences),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
@@ -1482,6 +1593,7 @@ REGISTRY: dict[str, tuple] = {
 # queries lead, then the ones whose last green row was r01.
 _CHECK_FIRST = (
     "fast_pattern_extract", "for_first3", "ner_entities", "stratified_sample",
+    "decontaminate", "pack_sequences",
     "score_name", "govt_entity", "officer_designation", "filename_fields",
     "line_confidence", "window_order", "clean_text_v2", "containment_match",
     "pricing_summary", "revenue_by_nation", "top_customers",
