@@ -71,9 +71,12 @@ def _junk_v3_col(u: Column) -> Column:
     # the pattern's anchor text (pure optimization, regex authoritative)
     pattern_hits = []
     for p in vocab.JUNK_PATTERNS_V3:
+        # no separate rlike: regexp_extract returns '' on no-match, and the
+        # >= length*0.6 test can only pass on a real match once length >= 2
+        # (enforced below) — one regex scan per pattern instead of two
         hit = (
             F.length(F.regexp_extract(u, f"(?i){p}", 0)) >= F.length(u) * 0.6
-        ) & u.rlike(f"(?i){p}")
+        )
         prefix = _literal_prefix(p)
         if len(prefix) >= 3:
             hit = u.contains(prefix) & hit
@@ -644,8 +647,21 @@ def _clean_name_fast_sql(cand: str) -> str:
 def q_fast_pattern_extract(spark, sf_dir):
     # Trailing newlines stripped on both sides: Java '$' matches before a
     # final line terminator, RE2 '$' does not (latent dialect divergence in
-    # the '\s+$' alternations of the FAST_* patterns).
-    u = F.regexp_replace(F.upper(F.col("text")), r"[\n\r]+$", "")
+    # the '\s+$' alternations of the FAST_* patterns). The normalized text
+    # is materialized as its own projection so the ~12 pattern references
+    # don't each re-inline the regexp_replace (CollapseProject).
+    staged = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.upper(F.col("text")), r"[\n\r]+$", "").alias("__u"),
+    )
+    u = F.col("__u")
+
+    # interior-literal guards for the two group-leading issuer patterns
+    # (no literal PREFIX to auto-derive, but any match must contain these)
+    interior = {
+        r"([A-Z][A-Z\s\.]{5,50}?)\s+AUTHORISED\s+SIGNATORY": "AUTHORISED",
+        r"([A-Z][A-Z\s\.]{5,50}?)\s+SIGNATURE": "SIGNATURE",
+    }
 
     def first(patterns):
         chain = None
@@ -654,13 +670,15 @@ def q_fast_pattern_extract(spark, sf_dir):
             prefix = _literal_prefix(p)
             if len(prefix) >= 3:  # skip the backtracking regex cheaply
                 cond = u.contains(prefix) & cond
+            elif p in interior:
+                cond = u.contains(interior[p]) & cond
             hit = F.when(cond, _clean_name_fast_col(F.regexp_extract(u, p, 1)))
             chain = hit if chain is None else chain.when(
                 cond, _clean_name_fast_col(F.regexp_extract(u, p, 1))
             )
         return chain.otherwise(F.lit(None).cast("string"))
 
-    return _docs(spark, sf_dir).select(
+    return staged.select(
         "doc_id",
         first(vocab.FAST_PAYEE_PATTERNS).alias("fast_payee"),
         first(vocab.FAST_ISSUER_PATTERNS).alias("fast_issuer"),
