@@ -68,3 +68,51 @@ def test_model_udf_plumbing_u3_u4_u5(spark, transcripts_sdf):
     # deterministic across reruns
     again = M.zero_shot_classify(spark, t).collect()
     assert [(r.label, r.score) for r in zs] == [(r.label, r.score) for r in again]
+
+
+def test_plan_shapes_hold(spark):
+    """Guard the audited physical-plan shapes of the scale-sensitive
+    queries (PLANS.md round 3): a future edit that re-introduces a global
+    sort, an extra shuffle, or a broken column pruning fails here, not in
+    a 100 TB run."""
+    import re
+
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    reg = Q.queries()
+
+    def ops(name):
+        plan = reg[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        found = re.findall(
+            r"\b(Exchange|HashAggregate|SortAggregate|Window|"
+            r"BroadcastHashJoin|SortMergeJoin|ArrowEvalPython|MapInPandas|"
+            r"Generate|FileScan|CartesianProduct|BroadcastNestedLoopJoin)\b",
+            plan,
+        )
+        schemas = re.findall(r"ReadSchema: (\S+)", plan)
+        return found, schemas
+
+    # pure scan + filter; 2-column pruning reaches the parquet reader
+    found, schemas = ops("stratified_sample")
+    assert found.count("Exchange") == 0 and found.count("Window") == 0
+    assert all("text" not in s for s in schemas)
+
+    # one partition-local window, exactly one exchange, no global sort
+    found, _ = ops("pack_sequences")
+    assert found.count("Window") == 1
+    assert found.count("Exchange") == 1
+
+    # single Arrow pass + explode, zero shuffles
+    found, _ = ops("ner_entities")
+    assert found.count("Exchange") == 0
+    assert found.count("MapInPandas") == 1
+
+    # distributed TakeOrderedAndProject pivots — never a partitionless
+    # window (the r02 scale-killer); no cartesian fallback anywhere
+    from cheque_ocr_project_spark.operators.similarity import ivf_pivots
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = ivf_pivots(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "Exchange" not in plan
