@@ -20,7 +20,7 @@ import re
 
 from cheque_ocr_project_spark.oracle import cleaning, fuzzy, predicates, vocab
 
-_ALPHA_RE = re.compile(r"[A-Za-z]")
+_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
 
 DEFAULT_THRESHOLD_V1 = 0.90
 DEFAULT_THRESHOLD_V3 = 0.85
@@ -37,7 +37,7 @@ def line_confidence(line: str) -> float:
     """
     if not line:
         return 0.0
-    alpha = len(_ALPHA_RE.findall(line))
+    alpha = len(_NON_ALPHA_RE.sub("", line))
     return 0.6 + 0.4 * (alpha / len(line))
 
 

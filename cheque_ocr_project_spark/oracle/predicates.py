@@ -20,6 +20,8 @@ from cheque_ocr_project_spark.oracle import vocab
 
 _ALPHA = re.compile(r"[A-Za-z]")
 _DIGIT = re.compile(r"[0-9]")
+_NON_ALPHA = re.compile(r"[^A-Za-z]")   # count via one sub() pass — same
+_NON_DIGIT = re.compile(r"[^0-9]")      # count as len(findall(class)), faster
 _OIZ_RUN = re.compile(r"O{4,}|I{4,}|Z{4,}")
 _GARBAGE_RES = tuple(re.compile(p) for p in vocab.GARBAGE_PATTERNS)
 # any(rx.match(t) for rx in _GARBAGE_RES) as ONE anchored alternation
@@ -34,8 +36,8 @@ _JUNK_RES_V3 = tuple(re.compile(p, re.IGNORECASE) for p in vocab.JUNK_PATTERNS_V
 def is_garbage(text: str | None) -> bool:
     if not text:
         return True
-    letters = len(_ALPHA.findall(text))
-    digits = len(_DIGIT.findall(text))
+    letters = len(_NON_ALPHA.sub("", text))
+    digits = len(_NON_DIGIT.sub("", text))
     if letters < 3:
         return True
     if digits > letters:
@@ -51,8 +53,9 @@ def is_junk_v1(text: str | None) -> bool:
     if len(text) < 3:
         return True
     u = text.upper()
-    if any(term in u for term in vocab.JUNK_TERMS_V1):
-        return True
+    for term in vocab.JUNK_TERMS_V1:  # plain loop: no genexpr frame per term
+        if term in u:
+            return True
     if "SIGN" in u or "SGN" in u:
         return True
     if "BEARER" in u or "ORDER" in u:
@@ -62,7 +65,10 @@ def is_junk_v1(text: str | None) -> bool:
 
 def contains_bank_keyword(text: str) -> bool:
     u = text.upper()
-    return any(term in u for term in vocab.BANK_TERMS)
+    for term in vocab.BANK_TERMS:
+        if term in u:
+            return True
+    return False
 
 
 def is_valid_drawer_v1(text: str | None) -> bool:
@@ -84,11 +90,14 @@ def is_valid_drawer_v1(text: str | None) -> bool:
         return False
     if text.count(".") > 2 and "M/S" not in text and "M/S." not in text:
         return False
-    if any(loc in text for loc in vocab.LOCATION_KEYWORDS):
-        return False
+    for loc in vocab.LOCATION_KEYWORDS:
+        if loc in text:
+            return False
 
-    alpha = sum(c.isalpha() for c in text)
-    digits = sum(c.isdigit() for c in text)
+    # map() over the bound methods, not a genexpr: ~2x less interpreter
+    # overhead in the hottest per-line path (semantics identical)
+    alpha = sum(map(str.isalpha, text))
+    digits = sum(map(str.isdigit, text))
     total = len(text)
     if total == 0:
         return False
@@ -96,9 +105,10 @@ def is_valid_drawer_v1(text: str | None) -> bool:
         return False
     if total > 6 and alpha / total < 0.45:
         return False
-    bank_hits = sum(1 for term in vocab.BANK_TERMS if term in text)
-    if bank_hits > 0 and alpha < 8:
-        return False
+    if alpha < 8:
+        for term in vocab.BANK_TERMS:
+            if term in text:
+                return False
 
     words = text.split()
     if len(text) < 5:
@@ -137,8 +147,8 @@ def is_valid_drawer_v1(text: str | None) -> bool:
 def looks_like_real_name(text: str | None) -> bool:
     if not text or text == "XXX":
         return False
-    letters = sum(c.isalpha() for c in text)
-    digits = sum(c.isdigit() for c in text)
+    letters = sum(map(str.isalpha, text))
+    digits = sum(map(str.isdigit, text))
     total = len(text)
     if digits > letters and letters < 5:
         return False
