@@ -43,8 +43,12 @@ def extract_payee(text: str | None) -> str | None:
         return None
     u = text.upper()
     for rx, guard in zip(_PAYEE_RES, _PAYEE_GUARDS):
-        if guard is not None and not any(g in u for g in guard):
-            continue
+        if guard is not None:
+            for g in guard:
+                if g in u:
+                    break
+            else:
+                continue
         m = rx.search(u)
         if m:
             candidate = m.group(1).strip()

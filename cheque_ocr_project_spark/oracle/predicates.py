@@ -154,7 +154,8 @@ def looks_like_real_name(text: str | None) -> bool:
         return False
     if total < 4 and text.upper() not in ("CO", "LTD", "PVT", "INC", "M/S"):
         return False
-    special = sum((not c.isalnum()) and c != " " for c in text)
+    # every char is exactly one of alnum / space / special
+    special = total - sum(map(str.isalnum, text)) - text.count(" ")
     if special > 3:
         return False
     if is_garbage(text):
