@@ -20,12 +20,29 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _check_transcript_schema(df: DataFrame, source: str) -> DataFrame:
+    missing = [c for c in TRANSCRIPT_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"input {source!r} is not a transcripts table: missing column(s) "
+            f"{missing}; expected schema (conv_id string, turn_idx int, "
+            f"role string, text string, tool string, ts timestamp), "
+            f"got columns {df.columns}"
+        )
+    return df
+
+
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
     """Read the transcripts table: Iceberg table name, parquet path, or
     CSV/JSON-lines path (by extension) — the reference's manifest-CSV side
-    channel (S5, custom_csv.py:24-74) maps to the csv branch."""
+    channel (S5, custom_csv.py:24-74) maps to the csv branch. The schema is
+    validated up front so a wrong input fails with a one-line message
+    instead of an unresolved-column error deep inside the job."""
     if "/" not in source:
-        return spark.read.table(source)
+        return _check_transcript_schema(spark.read.table(source), source)
     low = source.lower()
     if low.endswith(".csv") or low.endswith("_csv"):
         # multiLine: transcript text legitimately contains newlines
@@ -38,10 +55,10 @@ def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
         for c, t in (("turn_idx", "int"), ("ts", "timestamp")):
             if c in df.columns:
                 df = df.withColumn(c, F.col(c).cast(t))
-        return df
+        return _check_transcript_schema(df, source)
     if low.endswith(".json") or low.endswith(".jsonl"):
-        return spark.read.json(source)
-    return spark.read.parquet(source)
+        return _check_transcript_schema(spark.read.json(source), source)
+    return _check_transcript_schema(spark.read.parquet(source), source)
 
 
 def write_results(df: DataFrame, path: str, mode: str = "append") -> None:
