@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints JSON lines; detail records
+(all-query sweep, per-pass timings + load averages) come first and the
+FINAL line is the short driver-parseable metric record:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 The flagship extraction throughput is measured over a deterministic
@@ -109,15 +111,21 @@ def main() -> None:
     # Arrow fuzzy UDF) is measured alongside the default Arrow engine so the
     # engine trade-off is visible per round.
     headline_passes: dict[str, list[float]] = {}
+    # 1-min load average at the START of each pass: a shared-sandbox CPU
+    # steal spike is then mechanically attributable (high load -> discard
+    # the reading when comparing rounds). VERDICT r03 #8.
+    pass_loads: dict[str, list[float]] = {}
     engine_secs: dict[str, float] = {}
     for eng in ("vectorized", "arrow", "hybrid"):
         P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
             "noop"
         ).mode("overwrite").save()
         vals = []
+        loads = []
         # hybrid is the slowest and most noise-sensitive engine (many
         # stages); 2 passes bound total bench wall without losing the signal
         for _ in range(2 if eng == "hybrid" else 3):
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
                 "noop"
@@ -125,6 +133,7 @@ def main() -> None:
             vals.append(round(time.perf_counter() - t0, 3))
         engine_secs[eng] = min(vals)
         headline_passes[f"flagship_{eng}"] = vals
+        pass_loads[f"flagship_{eng}"] = loads
     flagship_sec = engine_secs["arrow"]
     timings["flagship_extract"] = round(flagship_sec, 3)
     turns_per_sec = n_turns / flagship_sec if flagship_sec else 0.0
@@ -148,12 +157,15 @@ def main() -> None:
         passes are recorded for the headline set so a noise-contaminated
         reading is visible as such instead of looking like a regression."""
         vals = []
+        loads = []
         for _ in range(passes):
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             vals.append(round(time.perf_counter() - t0, 3))
         if record is not None:
             headline_passes[record] = vals
+            pass_loads[record] = loads
         return round(min(vals), 3)
 
     for name in HEADLINE:
@@ -175,6 +187,16 @@ def main() -> None:
         except Exception as exc:
             all_timings[name] = -1.0
             print(f"# bench sweep error {name}: {exc}", file=sys.stderr)
+    # Output protocol (VERDICT r03 #3): the driver captures the TAIL of
+    # stdout, so the big detail maps go on their own earlier lines and the
+    # LAST line is a short, self-contained metric record guaranteed to
+    # survive tail truncation.
+    print(json.dumps({"record": "all_queries", "all_queries": all_timings}))
+    print(json.dumps({
+        "record": "headline_passes",
+        "headline_passes": headline_passes,
+        "pass_load_avgs": pass_loads,
+    }))
     print(
         json.dumps(
             {
@@ -182,7 +204,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "all_queries": all_timings,
                 "n_queries": len(timings) + len(all_timings),
                 "sf": sf,
                 "flagship_turns": n_turns,
@@ -191,8 +212,8 @@ def main() -> None:
                     eng: round(n_turns / sec, 1)
                     for eng, sec in engine_secs.items()
                 },
-                "headline_passes": headline_passes,
                 "cpus": CPUS,
+                "load_avg": round(os.getloadavg()[0], 2),
             }
         )
     )

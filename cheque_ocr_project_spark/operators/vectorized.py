@@ -660,6 +660,18 @@ def extract_turns_vectorized(spark: SparkSession, transcripts: DataFrame,
         _ensure_parallelism,
     )
 
+    # The byte-view fast path equates byte length with char length for the
+    # matched-candidate gates; a non-ASCII dictionary name would silently
+    # diverge from the oracle's char-length semantics, so the documented
+    # ASCII contract is validated here, once, at engine entry.
+    non_ascii = [n for n in drawer_dict if not n.isascii()]
+    if non_ascii:
+        raise ValueError(
+            "vectorized engine requires an ASCII drawer_dict "
+            f"(byte-length == char-length contract); offending names: "
+            f"{non_ascii[:5]!r}"
+        )
+
     bc = spark.sparkContext.broadcast(drawer_dict)
 
     def run(pdf_iter):

@@ -29,14 +29,15 @@ def poly_sql(expr: str, init: int) -> str:
 
 # documents ∪ deterministic near-duplicate copies — must mirror
 # plans.queries._docs_with_near_dups exactly (split on single space, keep
-# token 1, drop tokens 2-4, ids offset by 1,000,000).
+# token 1, drop tokens 2-4, ids offset by 1,000,000; only ids < 2^62 are
+# cloned so the offset can never overflow int64 at any legal doc_id).
 DOCS_WITH_NEAR_DUPS_CTE = """
 dups AS (
   SELECT doc_id + 1000000 AS doc_id,
          array_to_string(
            list_concat(string_split(text, ' ')[1:1],
                        string_split(text, ' ')[5:]), ' ') AS text
-  FROM documents WHERE doc_id % 7 = 0
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 4611686018427387904
 ),
 docs AS (
   SELECT doc_id, text FROM documents
@@ -46,7 +47,12 @@ docs AS (
 
 def sql_minhash_near_dup(num_perm: int = 64, bands: int = 16,
                          shingle_k: int = 5, threshold: float = 0.5,
-                         seed: int = DD.DEFAULT_SEED) -> str:
+                         seed: int = DD.DEFAULT_SEED,
+                         max_bucket: int | None = None) -> str:
+    """``max_bucket`` mirrors dedup.cap_bucket_size: Spark drops buckets by
+    band_key = xxhash64(band, slice); the oracle partitions by the slice
+    VALUE (band, bandval) — identical semantics up to a 64-bit hash
+    collision merging two buckets, negligible at oracle scale."""
     a, b = DD.perm_constants(num_perm, seed)
     rpb = num_perm // bands
     k = shingle_k
@@ -77,7 +83,10 @@ banded AS (
 keyed AS (
   SELECT doc_id, sig, band,
          list_slice(sig, band * {rpb} + 1, band * {rpb} + {rpb}) AS bandval
-  FROM banded
+  FROM banded{
+    f'''
+  QUALIFY count(*) OVER (PARTITION BY band, bandval) <= {max_bucket}'''
+    if max_bucket is not None else ""}
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,

@@ -164,7 +164,11 @@ def run_with_checkpoint(
         # Metrics from the committed data (not the in-flight plan). A run
         # whose every wave so far produced zero rows has an unreadable data
         # dir (no parquet footers to infer from) — stats is then empty, not
-        # an error.
+        # an error. Only THAT case (schema inference finds nothing) is
+        # tolerated; a corrupt footer or transient FS failure must
+        # propagate, not be silently recorded as rows=0/bytes=0.
+        from pyspark.errors import AnalysisException
+
         try:
             committed = spark.read.parquet(data_dir).filter(
                 F.col(BUCKET_COL).isin(wave_ids)
@@ -173,7 +177,7 @@ def run_with_checkpoint(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(byte_size).alias("bytes"),
             )
-        except Exception:
+        except AnalysisException:
             stats = spark.createDataFrame(
                 [], f"{BUCKET_COL} long, rows long, bytes long"
             )

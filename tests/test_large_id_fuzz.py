@@ -1,0 +1,127 @@
+"""Large-id fuzz sweep (VERDICT r03 #7): every hash-keyed operator run on
+ids up to 2^63-1, Spark vs DuckDB bit-for-bit.
+
+Round 3 proved the int64-overflow bug class recurs: ``id * MIX`` wraps
+silently in Spark above id ~3.47e9 while DuckDB raises — it was fixed in
+``ivf_pivots`` and ``sampling.sample_bucket`` but initially missed in the
+split hash of ``train_val_split``/``decontaminate`` (fixed round 4, the
+pre-reduced ``pmod(pmod(id, P) * MIX, P)`` form). This sweep runs the full
+contract query + oracle on a corpus whose ids straddle 2^31, 2^32, 2^40,
+the 3.47e9 overflow threshold, 2^52 (double-mantissa edge) and 2^62/2^63-1
+so any future raw-multiply regression fails here, not at 10^12 docs.
+
+Ids are non-negative by contract (DuckDB ``%`` differs from Spark ``pmod``
+on negatives — documented in operators/similarity.ivf_pivots).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from test_driver_contract import _canon
+
+LARGE_IDS = [
+    0, 1, 7, 999, 4095, 4096, 12345,
+    2**31 - 1, 2**31, 2**32, 3_470_000_000, 2**40,
+    2**45 + 17, 2**52 + 3, 2**62, 2**62 + 4097, 2**63 - 1,
+]
+
+# Texts engineered so the near-dup operators produce non-trivial output:
+# two exact duplicates, one near-duplicate pair (long shared prefix), a
+# short text, and distinct filler long enough for k=20 winnowing shingles.
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a slow waltz in the village square under paper lanterns"
+)
+_TEXTS = [
+    _BASE,
+    _BASE,  # exact duplicate of row 0
+    _BASE + " and the crowd hums along softly",  # near-duplicate
+    "completely different content about maritime navigation charts "
+    "and the careful calibration of brass instruments at sea",
+    "short text",
+    "numbers 12345 67890 repeated tokens tokens tokens in a medium "
+    "length line for shingle coverage across the window",
+]
+_SOURCES = ["src0", "src1", "src2", "src3", "web"]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("large_id_sf")
+    docs = pd.DataFrame({
+        "doc_id": pd.array(LARGE_IDS, dtype="int64"),
+        "text": [_TEXTS[i % len(_TEXTS)] for i in range(len(LARGE_IDS))],
+        "lang": ["en" if i % 3 else "de" for i in range(len(LARGE_IDS))],
+        "source": [_SOURCES[i % len(_SOURCES)] for i in range(len(LARGE_IDS))],
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    rng = np.random.RandomState(41)
+    emb = pd.DataFrame({
+        "vec_id": pd.array(LARGE_IDS, dtype="int64"),
+        "embedding": [
+            rng.randn(64).astype("float32") for _ in LARGE_IDS
+        ],
+        "label": [i % 4 for i in range(len(LARGE_IDS))],
+    })
+    # one near-identical embedding pair so embedding_near_dup fires
+    emb.at[1, "embedding"] = emb.at[0, "embedding"] + np.float32(1e-4)
+    emb.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck(fuzz_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet'"
+        )
+    return con
+
+
+HASH_KEYED = [
+    "train_val_split", "decontaminate", "stratified_sample",
+    "pack_sequences", "winnow_fingerprint", "fingerprint", "dedup_exact",
+    "minhash_near_dup", "simhash_near_dup", "ngram_jaccard_pairs",
+    "near_dup_clusters", "corpus_filter",
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_near_dup", "embedding_lsh_near_dup",
+]
+
+
+@pytest.mark.parametrize("name", HASH_KEYED)
+def test_large_ids_match_duckdb(spark, fuzz_dir, fuzz_duck, name):
+    sdf = entrymod.queries()[name](spark, fuzz_dir).toPandas()
+    ddf = fuzz_duck.execute(entrymod.oracle_sql()[name]).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns), name
+    a, b = _canon(sdf), _canon(ddf)
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = list(a[col]), list(b[col])
+        bad = [
+            i for i, (x, y) in enumerate(zip(av, bv))
+            if not ((pd.isna(x) and pd.isna(y)) or x == y
+                    or (isinstance(x, float) and isinstance(y, float)
+                        and abs(x - y) <= 2e-6))
+        ]
+        assert not bad, (
+            f"{name}.{col}: {len(bad)} mismatches; first {bad[0]}: "
+            f"spark={av[bad[0]]!r} duck={bv[bad[0]]!r}"
+        )
+
+
+def test_split_hash_no_overflow_at_max_id(spark, fuzz_dir):
+    """The specific r03 finding: above doc_id ~3.47e9 the raw product
+    doc_id * 2654435761 exceeds int64. The pre-reduced form must assign
+    every id a bucket in [0, 100) without wrapping negative."""
+    out = (
+        entrymod.queries()["train_val_split"](spark, fuzz_dir)
+        .toPandas()
+    )
+    assert len(out) == len(LARGE_IDS)
+    assert out["bucket"].between(0, 99).all()

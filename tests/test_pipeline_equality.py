@@ -69,8 +69,9 @@ def test_native_pipeline_matches_oracle(spark, transcripts_sdf, fixture_data, ex
 
 
 def test_vectorized_pipeline_matches_oracle(spark, transcripts_sdf, fixture_data, expected):
-    """The DEFAULT engine: pandas-Series-vectorized batch kernel (zero
-    per-row Python) must match the oracle per turn."""
+    """The pandas-Series-vectorized batch kernel (zero per-row Python; the
+    measured-fastest 'arrow' engine is the default) must match the oracle
+    per turn."""
     _t, _m, drawer_dict = fixture_data
     out = P.extract_pipeline(
         spark, transcripts_sdf, drawer_dict, engine="vectorized"
