@@ -1376,6 +1376,57 @@ SELECT doc_id, word_count, stop_hits, ok_word_count, ok_mean_word_len,
 FROM g"""
 
 
+def q_rep_top_bigram(spark, sf_dir):
+    """Gopher repetition rule: each document's most frequent word 2-gram
+    and its count (the filter drops docs whose top n-gram covers too much
+    of the text; emitting the int count keeps the cross-engine compare
+    float-free). Docs with fewer than two words have no bigram and are
+    excluded, matching the oracle.
+
+    Scale shape: bigram explode -> partial-agg count (map-side combine
+    collapses the heavy duplication BEFORE the shuffle) -> per-doc top-1
+    window on the high-cardinality doc_id key. Ties broken (count desc,
+    gram asc) so both engines pick the identical winner."""
+    from pyspark.sql import Window
+
+    t = F.col("text")
+    words = F.split(F.trim(t), r"\s+")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1), F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(bigrams).alias("gram")
+    )
+    cnt = d.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "gram", "cnt")
+    )
+
+
+SQL_REP_TOP_BIGRAM = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM w
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM b GROUP BY doc_id, gram
+)
+SELECT doc_id, gram, cnt FROM c
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY cnt DESC, gram ASC) = 1"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join — the classic temporal operator Spark lacks natively. For each
 # 'purchase' event: the most recent 'click' at-or-before it for the same
@@ -1838,6 +1889,7 @@ REGISTRY: dict[str, tuple] = {
     "train_val_split": (q_train_val_split, sql_train_val_split),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "gopher_quality": (q_gopher_quality, sql_gopher_quality),
+    "rep_top_bigram": (q_rep_top_bigram, SQL_REP_TOP_BIGRAM),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
@@ -1883,7 +1935,7 @@ _CHECK_FIRST = (
     # changed or added in round 4
     "train_val_split", "decontaminate", "pack_sequences",
     "minhash_near_dup_capped", "minhash_near_dup",
-    "gopher_quality", "asof_join",
+    "gopher_quality", "asof_join", "rep_top_bigram",
 )
 
 
