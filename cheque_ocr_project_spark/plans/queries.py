@@ -1486,6 +1486,66 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization: events of a user separated by more than
+    30 minutes of inactivity start a new session — the classic
+    lag + running-sum formulation. session_seq is the per-user session
+    ordinal, deterministic under the (ts, event_id) ordering.
+
+    Scale shape: ONE shuffle on the high-cardinality user key, one sort,
+    both window functions (lag, running sum) share the partitioning —
+    never a range join or a self-join. Gap compared in exact integer
+    microseconds (no truncation-unit dialect risk)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
+    new_sess = F.when(
+        prev_ts.isNull() | (gap_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", "ts", new_sess.alias("new_sess")
+        )
+        .select(
+            "event_id", "user_id", "ts",
+            F.sum("new_sess").over(run).cast("long").alias("session_seq"),
+            (F.col("new_sess") == 1).alias("is_session_start"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH l AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM l
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_seq,
+       new_sess = 1 AS is_session_start
+FROM f"""
+
+
 SQL_ASOF_JOIN = """
 WITH clicks AS (
   SELECT user_id, ts, max(event_id) AS click_id
@@ -1891,6 +1951,7 @@ REGISTRY: dict[str, tuple] = {
     "gopher_quality": (q_gopher_quality, sql_gopher_quality),
     "rep_top_bigram": (q_rep_top_bigram, SQL_REP_TOP_BIGRAM),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter),
@@ -1935,7 +1996,7 @@ _CHECK_FIRST = (
     # changed or added in round 4
     "train_val_split", "decontaminate", "pack_sequences",
     "minhash_near_dup_capped", "minhash_near_dup",
-    "gopher_quality", "asof_join", "rep_top_bigram",
+    "gopher_quality", "asof_join", "rep_top_bigram", "sessionize",
 )
 
 

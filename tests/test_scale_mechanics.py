@@ -137,6 +137,13 @@ def test_plan_shapes_hold(spark):
     assert found.count("Window") == 1
     assert found.count("SortMergeJoin") + found.count("BroadcastHashJoin") == 0
 
+    # sessionization: lag + running sum share ONE shuffle on the
+    # high-cardinality user key; no self-join, no range join
+    found, _ = ops("sessionize")
+    assert found.count("FileScan") == 1
+    assert found.count("Exchange") == 1
+    assert found.count("SortMergeJoin") + found.count("BroadcastHashJoin") == 0
+
     # single Arrow pass + explode, zero shuffles
     found, _ = ops("ner_entities")
     assert found.count("Exchange") == 0
@@ -150,3 +157,52 @@ def test_plan_shapes_hold(spark):
     plan = ivf_pivots(emb)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan and "Exchange" not in plan
+
+
+def test_pack_sequences_single_source_skew(spark, tmp_path):
+    """The r03 weak-spot scenario verbatim: ONE source owns the whole
+    corpus (a real mix is ~90% web). The two-pass prefix sum must (a) keep
+    every window partition at <= PACK_CHUNK rows — no task ever sees the
+    full source — and (b) still produce the exact single-window oracle
+    answer."""
+    import duckdb
+    import pandas as pd
+
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    n = 120_000
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(n), dtype="int64"),
+        "text": [f"tok{i % 97} " * (1 + i % 7) for i in range(n)],
+        "lang": "en",
+        "source": "web",          # single dominant source
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    d = tmp_path / "skew_sf"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    out = Q.q_pack_sequences(spark, str(d))
+    # (a) bounded parallel units: rows per (source, chunk) window partition
+    from pyspark.sql import functions as F
+
+    grp = (
+        spark.read.parquet(f"{d}/documents.parquet")
+        .groupBy(F.floor(F.col("doc_id") / Q.PACK_CHUNK))
+        .count().agg(F.max("count")).collect()[0][0]
+    )
+    assert grp <= Q.PACK_CHUNK
+    assert n / Q.PACK_CHUNK >= 20  # the skew case is genuinely multi-chunk
+
+    # (b) exact equality with the one-window oracle
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    got = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = (
+        con.execute(Q.sql_pack_sequences()).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_tokens", "bin_id", "bin_offset"):
+        assert (got[c].astype("int64") == exp[c].astype("int64")).all(), c
