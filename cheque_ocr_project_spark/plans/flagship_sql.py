@@ -364,7 +364,7 @@ def sql_flagship_v3_nofuzzy(threshold: float = 0.85) -> str:
     )
     return f"""
 WITH transcripts AS (
-  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx,
+  SELECT source || '-' || CAST(doc_id // 2147483648 AS VARCHAR) AS conv_id, CAST(doc_id % 2147483648 AS INT) AS turn_idx,
          CASE WHEN doc_id % 3 = 0 THEN 'user'
               WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
          text,
@@ -512,7 +512,7 @@ def sql_flagship_nofuzzy(threshold: float = THRESHOLD) -> str:
 
     return f"""
 WITH transcripts AS (
-  SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx,
+  SELECT source || '-' || CAST(doc_id // 2147483648 AS VARCHAR) AS conv_id, CAST(doc_id % 2147483648 AS INT) AS turn_idx,
          CASE WHEN doc_id % 3 = 0 THEN 'user'
               WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
          text,

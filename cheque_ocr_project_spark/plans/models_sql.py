@@ -13,7 +13,7 @@ from cheque_ocr_project_spark.functions import ducksql as D
 from cheque_ocr_project_spark.operators import models as M
 from cheque_ocr_project_spark.plans import flagship_sql as FS
 
-TRANSCRIPT_KEYS = "source AS conv_id, CAST(doc_id AS INT) AS turn_idx"
+TRANSCRIPT_KEYS = "source || '-' || CAST(doc_id // 2147483648 AS VARCHAR) AS conv_id, CAST(doc_id % 2147483648 AS INT) AS turn_idx"
 
 
 def sql_zero_shot_classify(labels=M.DEFAULT_ZS_LABELS) -> str:

@@ -1001,8 +1001,17 @@ def documents_as_transcripts(spark, sf_dir) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, "web_fetch").otherwise("pdf_extract"),
     )
     return d.select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
+        # turn_idx is int32 by the transcripts contract, so a 64-bit
+        # doc_id cannot be cast directly (CAST_OVERFLOW above 2^31-1) nor
+        # reduced mod 2^31 alone (colliding (conv_id, turn_idx) keys fan
+        # out in the per-key SQL-twin joins). The injective split — high
+        # bits into conv_id, low 31 bits into turn_idx — maps EVERY int64
+        # id to a unique key. SQL twins in flagship_sql.py / models_sql.py
+        # mirror the same expressions.
+        F.concat_ws(
+            "-", F.col("source"), F.expr("doc_id div 2147483648")
+        ).alias("conv_id"),
+        F.pmod(F.col("doc_id"), F.lit(1 << 31)).cast("int").alias("turn_idx"),
         role.alias("role"),
         F.col("text"),
         tool.alias("tool"),

@@ -39,8 +39,10 @@ def _oracle_frame(docs: pd.DataFrame, fn, threshold) -> pd.DataFrame:
         if r.doc_id % 3 == 2:
             tool = "web_fetch" if r.doc_id % 2 == 0 else "pdf_extract"
         rec = fn(r.text, role, tool, [], threshold)
-        rec["conv_id"] = r.source
-        rec["turn_idx"] = int(r.doc_id)
+        # injective id split of documents_as_transcripts: high bits into
+        # conv_id, low 31 into turn_idx (round-4 large-id fix)
+        rec["conv_id"] = f"{r.source}-{r.doc_id // (1 << 31)}"
+        rec["turn_idx"] = int(r.doc_id % (1 << 31))
         rows.append(rec)
     return pd.DataFrame(rows)
 

@@ -71,30 +71,77 @@ def fuzz_dir(tmp_path_factory):
     # one near-identical embedding pair so embedding_near_dup fires
     emb.at[1, "embedding"] = emb.at[0, "embedding"] + np.float32(1e-4)
     emb.to_parquet(d / "embeddings.parquet", index=False)
+
+    events = pd.DataFrame({
+        "event_id": pd.array(LARGE_IDS, dtype="int64"),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta([i * 11 for i in range(len(LARGE_IDS))], unit="m"),
+        "user_id": pd.array(
+            [LARGE_IDS[(i * 5) % len(LARGE_IDS)] for i in range(len(LARGE_IDS))],
+            dtype="int64",
+        ),
+        "event_type": [
+            ["click", "purchase", "view", "signup", "error"][i % 5]
+            for i in range(len(LARGE_IDS))
+        ],
+        "value": [round(1.5 * i, 2) for i in range(len(LARGE_IDS))],
+        "props": ['{"k": %d}' % (i * 7 % 100) for i in range(len(LARGE_IDS))],
+    })
+    # microsecond timestamps: pandas defaults to nanos, which Spark's
+    # parquet reader rejects (PARQUET_TYPE_ILLEGAL)
+    events.to_parquet(
+        d / "events.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
     return str(d)
 
 
 @pytest.fixture(scope="module")
 def fuzz_duck(fuzz_dir):
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_dir}/{t}.parquet'"
         )
     return con
 
 
-HASH_KEYED = [
+FUZZ_TABLES = {"documents", "embeddings", "events"}
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# the r03 bug class lived in these; they must never drop out of the sweep
+HASH_KEYED_CORE = {
     "train_val_split", "decontaminate", "stratified_sample",
     "pack_sequences", "winnow_fingerprint", "fingerprint", "dedup_exact",
     "minhash_near_dup", "simhash_near_dup", "ngram_jaccard_pairs",
     "near_dup_clusters", "corpus_filter",
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_near_dup", "embedding_lsh_near_dup",
-]
+}
 
 
-@pytest.mark.parametrize("name", HASH_KEYED)
+def _eligible_queries() -> list[str]:
+    """Every oracle-backed query whose SQL references only the fuzz tables
+    — the sweep auto-extends to future queries instead of relying on a
+    hand-maintained list."""
+    import re
+
+    out = []
+    for name, sql in entrymod.oracle_sql().items():
+        used = {t for t in ALL_TABLES if re.search(rf"\b{t}\b", sql)}
+        if used and used <= FUZZ_TABLES:
+            out.append(name)
+    return sorted(out)
+
+
+def test_sweep_covers_hash_keyed_core():
+    assert HASH_KEYED_CORE <= set(_eligible_queries())
+
+
+@pytest.mark.parametrize("name", _eligible_queries())
 def test_large_ids_match_duckdb(spark, fuzz_dir, fuzz_duck, name):
     sdf = entrymod.queries()[name](spark, fuzz_dir).toPandas()
     ddf = fuzz_duck.execute(entrymod.oracle_sql()[name]).df()
