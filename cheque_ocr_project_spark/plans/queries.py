@@ -1495,6 +1495,36 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_event_rollup(spark, sf_dir):
+    """Hierarchical time-bucket rollup (the hypertable/continuous-
+    aggregate pattern): per (event_type, hour) totals, per-type subtotals,
+    and the grand total in ONE pass via ROLLUP — Catalyst expands the
+    grouping sets into a single shuffle instead of three scans. Money is
+    summed in exact integer cents (round(value*100)) so the cross-engine
+    compare never meets float-accumulation-order noise."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ev.rollup("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+
+
+SQL_EVENT_ROLLUP = """
+SELECT event_type, hr,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+GROUP BY ROLLUP (event_type, hr)"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
@@ -1961,6 +1991,7 @@ REGISTRY: dict[str, tuple] = {
     "rep_top_bigram": (q_rep_top_bigram, SQL_REP_TOP_BIGRAM),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter),
@@ -2006,6 +2037,7 @@ _CHECK_FIRST = (
     "train_val_split", "decontaminate", "pack_sequences",
     "minhash_near_dup_capped", "minhash_near_dup",
     "gopher_quality", "asof_join", "rep_top_bigram", "sessionize",
+    "event_rollup",
 )
 
 
