@@ -19,9 +19,40 @@ def q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+_WS_SET = r" \t\n\x0b\f\r"
+
+
+def _re2_ws(pat: str) -> str:
+    """Rewrite \\s for the RE2 dialect: Java's and Python's \\s include
+    \\x0b (vertical tab), RE2's does not — so every \\s in a shared pattern
+    is expanded to the explicit ASCII set before rendering. Inside a
+    character class the set is spliced bare; outside it gets brackets."""
+    out = []
+    in_class = False
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            nxt = pat[i + 1]
+            if nxt == "s":
+                out.append(_WS_SET if in_class else f"[{_WS_SET}]")
+            else:
+                out.append(c + nxt)
+            i += 2
+            continue
+        if c == "[" and not in_class:
+            in_class = True
+        elif c == "]" and in_class:
+            in_class = False
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def rx(pat: str) -> str:
-    """Quote a regex for DuckDB (RE2; backslashes literal in SQL strings)."""
-    return q(pat)
+    """Quote a regex for DuckDB (RE2; backslashes literal in SQL strings),
+    normalizing the whitespace-class dialect split via _re2_ws."""
+    return q(_re2_ws(pat))
 
 
 def esc_term(t: str) -> str:
@@ -38,7 +69,7 @@ def rr(expr: str, pat: str, repl: str) -> str:
 
 
 def collapse_ws(expr: str) -> str:
-    inner = rr(expr, r"\s+", " ")
+    inner = rr(expr, r"[ \t\n\x0b\f\r]+", " ")
     return f"trim({inner})"
 
 
@@ -70,7 +101,7 @@ def is_garbage_sql(col: str) -> str:
             r"^[A-Z][OIZ]{4,}$",
             r"[OIZ]{5,}",
             r"^[A-Z]{1,2}$",
-            r"^[A-Z][\s]*[A-Z]$",
+            r"^[A-Z][ \t\n\x0b\f\r]*[A-Z]$",
         )
     )
     return (
@@ -105,7 +136,10 @@ def chain_regex_strip_sql(expr: str, patterns, flags: str = "gi") -> str:
 
 def pystrip_sql(expr: str) -> str:
     """Python str.strip(): ALL whitespace (DuckDB trim strips spaces only)."""
-    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+    # explicit ASCII class == Python str.strip()'s whitespace set; RE2 \s
+    # lacks \x0b so the bare class diverged on vertical tab
+    return (f"regexp_replace({expr}, "
+            f"'^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')")
 
 
 def clean_payee_sql(col: str) -> str:
@@ -116,7 +150,7 @@ def clean_payee_sql(col: str) -> str:
     s = chain_regex_strip_sql(s, vocab.COMPANY_SUFFIX_PATTERNS)
     s = collapse_ws(s)
     # \w == [0-9A-Za-z_] in both dialects for ASCII input
-    s = rr(s, r"[^\w\s\.\-]", "")
+    s = rr(s, r"[^\w \t\n\x0b\f\r\.\-]", "")
     return (
         f"CASE WHEN {col} IS NULL OR length({col}) = 0 OR length({s}) < 2 "
         f"THEN 'XXX' ELSE {s} END"
@@ -131,7 +165,7 @@ def correct_spelling_sql(col: str) -> str:
     s = chain_replace_sql(s, vocab.SPELLING_CORRECTIONS)
     s = chain_replace_sql(s, [(w, "") for w in vocab.GARBAGE_WORDS])
     s = collapse_ws(s)
-    s = rr(s, r"[^A-Z\s]", "")
+    s = rr(s, r"[^A-Z \t\n\x0b\f\r]", "")
     return (
         f"CASE WHEN {col} IS NULL OR length({col}) = 0 THEN 'UNKNOWN' "
         f"WHEN length({s}) >= 3 THEN {s} ELSE 'UNKNOWN' END"

@@ -173,7 +173,7 @@ def sql_simhash_near_dup(max_hamming: int = 3,
 WITH {DOCS_WITH_NEAR_DUPS_CTE},
 toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(upper(text), '\\s+'), t -> t <> '') AS toks
+         list_filter(string_split_regex(upper(text), '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
   FROM docs
 ),
 th AS (

@@ -44,7 +44,7 @@ def n_digit(expr: str) -> str:
 
 def collapse(expr: str) -> str:
     """_collapse: ws-collapse then strip (input charset makes trim() safe)."""
-    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({expr}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
 
 
 def pystrip(expr: str) -> str:
@@ -53,7 +53,7 @@ def pystrip(expr: str) -> str:
 
 def words_of(uexpr: str) -> str:
     """Python str.split(): any-whitespace split, empty tokens dropped."""
-    return f"list_filter(string_split_regex({uexpr}, '\\s+'), w -> w <> '')"
+    return f"list_filter(string_split_regex({uexpr}, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '')"
 
 
 _GARBAGE_RX = "|".join(
@@ -239,7 +239,7 @@ def line_conf(ln: str) -> str:
 def html_main(text: str) -> str:
     lines = (
         f"list_filter(string_split({text}, {NL}), "
-        f"ln -> NOT regexp_matches(ln, '(?i)<\\s*(script|style)\\b'))"
+        f"ln -> NOT regexp_matches(ln, '(?i)<[ \\t\\n\\x0b\\f\\r]*(script|style)\\b'))"
     )
     stripped = "regexp_replace(ln, '<[^>]*>', '', 'g')"
     visible = collapse(stripped)
@@ -377,7 +377,7 @@ content AS ({content_sql()}),
 turns AS (
   SELECT conv_id, turn_idx,
          list_filter(string_split(content, {NL}),
-                     ln -> regexp_matches(ln, '\\S')) AS lines
+                     ln -> regexp_matches(ln, '[^ \\t\\n\\x0b\\f\\r]')) AS lines
   FROM content
 ),
 lines_rel AS (
@@ -525,9 +525,9 @@ content AS ({content_sql()}),
 turns AS (
   SELECT conv_id, turn_idx, content,
          list_filter(string_split(content, {NL}),
-                     ln -> regexp_matches(ln, '\\S')) AS lines,
+                     ln -> regexp_matches(ln, '[^ \\t\\n\\x0b\\f\\r]')) AS lines,
          len(list_filter(string_split(content, {NL}),
-                         ln -> regexp_matches(ln, '\\S'))) AS n_lines
+                         ln -> regexp_matches(ln, '[^ \\t\\n\\x0b\\f\\r]'))) AS n_lines
   FROM content
 ),
 turn_level AS (

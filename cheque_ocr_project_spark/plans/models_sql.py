@@ -33,7 +33,7 @@ def sql_zero_shot_classify(labels=M.DEFAULT_ZS_LABELS) -> str:
     return f"""
 WITH t AS (
   SELECT {TRANSCRIPT_KEYS},
-         list_filter(string_split_regex(upper(text[1:512]), '\\s+'),
+         list_filter(string_split_regex(upper(text[1:512]), '[ \\t\\n\\x0b\\f\\r]+'),
                      x -> x <> '') AS tw
   FROM documents
 ),
@@ -71,8 +71,8 @@ FROM ans"""
 
 def sql_t5_spell() -> str:
     corrected = D.correct_spelling_sql("text[1:512]")
-    a = "list_filter(string_split_regex(upper(text[1:512]), '\\s+'), x -> x <> '')"
-    b = "list_filter(string_split_regex(corr, '\\s+'), x -> x <> '')"
+    a = "list_filter(string_split_regex(upper(text[1:512]), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+    b = "list_filter(string_split_regex(corr, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
     return f"""
 WITH t AS (
   SELECT {TRANSCRIPT_KEYS}, text, {corrected} AS corr FROM documents
@@ -98,7 +98,7 @@ _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
 def sql_model_ensemble() -> str:
     """K3: 0.3*ocr + 0.4*ner + 0.2*context + 0.1*spelling, every component
     deterministic and recomputable."""
-    lines = "list_filter(string_split(text, chr(10)), ln -> regexp_matches(ln, '\\S'))"
+    lines = "list_filter(string_split(text, chr(10)), ln -> regexp_matches(ln, '[^ \\t\\n\\x0b\\f\\r]'))"
     conf_fold = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(lines, ln -> {FS.line_conf('ln')})), (a, b) -> a + b)"

@@ -54,7 +54,9 @@ PAYEE_PATTERNS_SQLSAFE = (
 _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
               "for", "with", "at", "by", "from", "as", "that", "this")
 
-_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# explicit ASCII whitespace (== Java \s) so the RE2 oracle tokenizes
+# identically — RE2 \s lacks \x0b
+_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +154,7 @@ def sql_classify():
     dd = D.any_term_sql(u, vocab.DD_MARKERS)
     mc = D.any_term_sql(u, vocab.MC_MARKERS)
     crossed = f"regexp_matches({u}, {D.rx('|'.join(f'(?:{p})' for p in vocab.CROSSED_PATTERNS))})"
-    n_words = f"len(regexp_extract_all({u}, '\\S+'))"
+    n_words = f"len(regexp_extract_all({u}, '[^ \\t\\n\\x0b\\f\\r]+'))"
     is_self = f"({u} LIKE '%SELF%' AND {n_words} < 15)"
     return f"""
 SELECT doc_id,
@@ -346,7 +348,7 @@ def q_token_stats(spark, sf_dir):
 def sql_token_stats():
     return f"""
 SELECT doc_id,
-  len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS ws_tokens,
   len(regexp_extract_all(text, {D.rx(_TOKEN_PATTERN)})) AS bpe_tokens
 FROM documents"""
 
@@ -560,9 +562,9 @@ def q_last_tokens(spark, sf_dir):
 def sql_last_tokens():
     return """
 SELECT doc_id,
-  array_to_string(regexp_extract_all(text, '\\S+')[-3:], ' ') AS last_tokens
+  array_to_string(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')[-3:], ' ') AS last_tokens
 FROM documents
-WHERE len(regexp_extract_all(text, '\\S+')) >= 3"""
+WHERE len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) >= 3"""
 
 
 # ---------------------------------------------------------------------------
@@ -1008,8 +1010,11 @@ def documents_as_transcripts(spark, sf_dir) -> DataFrame:
         # bits into conv_id, low 31 bits into turn_idx — maps EVERY int64
         # id to a unique key. SQL twins in flagship_sql.py / models_sql.py
         # mirror the same expressions.
-        F.concat_ws(
-            "-", F.col("source"), F.expr("doc_id div 2147483648")
+        # F.concat (not concat_ws) so a NULL source yields NULL conv_id,
+        # matching the SQL twins' null-propagating || operator
+        F.concat(
+            F.col("source"), F.lit("-"),
+            F.expr("CAST(doc_id div 2147483648 AS STRING)"),
         ).alias("conv_id"),
         F.pmod(F.col("doc_id"), F.lit(1 << 31)).cast("int").alias("turn_idx"),
         role.alias("role"),
@@ -1227,7 +1232,7 @@ def q_pack_sequences(spark, sf_dir):
     # twice). doc_id is never null in the contract schema.
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", ws_tokens.alias("n_tokens"),
-        F.coalesce(F.floor(F.col("doc_id") / PACK_CHUNK), F.lit(-1))
+        F.coalesce(F.expr(f"doc_id div {PACK_CHUNK}"), F.lit(-1))
         .alias("chunk"),
     )
     w_local = (
@@ -1268,7 +1273,7 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def sql_pack_sequences():
-    toks = r"len(regexp_extract_all(text, '\S+'))"
+    toks = r"len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))"
     prefix = (
         "coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
@@ -1351,7 +1356,7 @@ def sql_gopher_quality():
     return f"""
 WITH d AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(text), '\\s+') AS words,
+         regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS words,
          string_split(text, chr(10)) AS lines,
          length(text) - length(replace(text, '#', '')) AS n_hash,
          (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
@@ -1369,7 +1374,7 @@ WITH d AS (
          CAST(sum_wl AS DOUBLE) / wc >= 3.0
            AND CAST(sum_wl AS DOUBLE) / wc <= 10.0 AS ok_mean_word_len,
          CAST(n_hash + n_ell AS DOUBLE) / wc < 0.1 AS ok_symbol_ratio,
-         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]')))
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \\t\\n\\x0b\\f\\r]*[-*]')))
               AS DOUBLE) / nlines < 0.9 AS ok_bullet,
          CAST(len(list_filter(lines, l -> ends_with(l, '...')))
               AS DOUBLE) / nlines < 0.3 AS ok_ellipsis,
@@ -1421,7 +1426,7 @@ def q_rep_top_bigram(spark, sf_dir):
 
 SQL_REP_TOP_BIGRAM = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS words
   FROM documents
 ), b AS (
   SELECT doc_id,
@@ -1793,7 +1798,7 @@ def sql_variant_keep_best():
     def vconf(v):
         lines = (
             f"list_filter(string_split({v}, chr(10)), "
-            f"ln -> regexp_matches(ln, '\\S'))"
+            f"ln -> regexp_matches(ln, '[^ \\t\\n\\x0b\\f\\r]'))"
         )
         fold = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -1809,7 +1814,7 @@ def sql_variant_keep_best():
 WITH v AS (
   SELECT doc_id, coalesce(text, '') AS t,
          regexp_replace(coalesce(text, ''), '<[^>]*>', '', 'g') AS dom,
-         trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS ws
+         trim(regexp_replace(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS ws
   FROM documents
 ),
 conf AS (
@@ -1835,7 +1840,7 @@ sel AS (
 ft AS (
   SELECT doc_id, best_variant, best_conf,
          upper(array_to_string(list_filter(string_split(vtext, chr(10)),
-               ln -> regexp_matches(ln, '\\S')), ' ')) AS u
+               ln -> regexp_matches(ln, '[^ \\t\\n\\x0b\\f\\r]')), ' ')) AS u
   FROM sel
 )
 SELECT doc_id, best_variant, best_conf, {FS.payee_raw('u')} AS payee_raw

@@ -342,7 +342,7 @@ def sql_issuer_simple():
             f"CASE WHEN contains({cand}, {d}) "
             f"THEN split_part({cand}, {d}, 1) ELSE {cand} END"
         )
-    words = f"regexp_extract_all({cand}, '\\S+')"
+    words = f"regexp_extract_all({cand}, '[^ \\t\\n\\x0b\\f\\r]+')"
     joined = f"array_to_string({words}, ' ')"
     cleaned = D.collapse_ws(D.rr(joined, r"[^\w\s]", " "))
     for_result = (
@@ -371,7 +371,7 @@ def q_score_name(spark, sf_dir):
 
 def sql_score_name():
     t = "text[1:40]"
-    words = f"regexp_extract_all({t}, '\\S+')"
+    words = f"regexp_extract_all({t}, '[^ \\t\\n\\x0b\\f\\r]+')"
     n = f"len({words})"
     all_alpha = (
         f"(len(list_filter({words}, w -> NOT regexp_matches(w, '^[A-Za-z]+$'))) = 0)"
@@ -394,7 +394,7 @@ def _is_govt_entity_sql(x: str) -> str:
     u = f"upper(coalesce({x}, ''))"
     entities = D.any_term_sql(u, vocab.GOVT_ENTITIES)
     pats = f"regexp_matches({u}, {D.rx('|'.join(f'(?:{p})' for p in vocab.GOVT_PAYEE_PATTERNS))})"
-    words = f"len(regexp_extract_all({u}, '\\S+'))"
+    words = f"len(regexp_extract_all({u}, '[^ \\t\\n\\x0b\\f\\r]+'))"
     indicators = D.any_term_sql(u, vocab.GOVT_INDICATORS)
     return (
         f"(length({u}) > 0 AND ({entities} OR {pats} "
@@ -718,7 +718,7 @@ def q_for_first3(spark, sf_dir):
 def sql_for_first3():
     u = "upper(text)"
     seg = f"trim(string_split({u}, 'FOR')[2])"
-    first3 = f"array_to_string(regexp_extract_all({seg}, '\\S+')[1:3], ' ')"
+    first3 = f"array_to_string(regexp_extract_all({seg}, '[^ \\t\\n\\x0b\\f\\r]+')[1:3], ' ')"
     return f"""
 SELECT doc_id,
   CASE WHEN contains({u}, 'FOR') AND len(string_split({u}, 'FOR')) > 1
@@ -823,7 +823,7 @@ def q_main_content_plain(spark, sf_dir):
 
 
 def sql_main_content_plain():
-    line = "trim(regexp_replace(x, '\\s+', ' ', 'g'))"
+    line = "trim(regexp_replace(x, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
     return f"""
 SELECT doc_id,
   array_to_string(

@@ -44,6 +44,11 @@ _TEXTS = [
     "short text",
     "numbers 12345 67890 repeated tokens tokens tokens in a medium "
     "length line for shingle coverage across the window",
+    # dialect torture: vertical tab + form feed separators (Java/Python \s
+    # include \x0b, RE2 \s does not — the oracles use an explicit ASCII
+    # class so this row must stay bit-equal), bullet lines, ellipsis line
+    "alpha\x0bbeta gamma\fdelta words here\n- bullet line one\n"
+    "* bullet two\ntrailing thought...\nthe end of it all",
 ]
 _SOURCES = ["src0", "src1", "src2", "src3", "web"]
 
