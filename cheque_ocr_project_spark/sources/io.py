@@ -108,3 +108,22 @@ def merge_into_iceberg(spark: SparkSession, target_table: str,
         return True
     except Exception:
         return False
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   n_buckets: int = 64, sort: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Bucketing is THE co-location tool for repeated large-large joins at
+    corpus scale: two tables bucketed (and sorted) on the same keys with
+    the same bucket count join with ZERO exchange and zero sort — the
+    shuffle is paid once at write time instead of on every join
+    (`tests/test_scale_mechanics.py::test_bucketed_join_colocates` locks
+    the exchange-free SortMergeJoin plan). Reference analog: the
+    reference re-reads and re-groups its master table per batch
+    (issuer_processor_v.py); bucketing amortizes that into the layout."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)

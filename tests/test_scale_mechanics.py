@@ -206,3 +206,36 @@ def test_pack_sequences_single_source_skew(spark, tmp_path):
     )
     for c in ("doc_id", "n_tokens", "bin_id", "bin_offset"):
         assert (got[c].astype("int64") == exp[c].astype("int64")).all(), c
+
+
+def test_bucketed_join_colocates(spark):
+    """Two tables bucketed+sorted on the join key must join with ZERO
+    exchange and zero extra sort: the write-time layout replaces the
+    per-join shuffle — the co-location strategy a 100 TB deployment uses
+    for its recurring large-large joins."""
+    from pyspark.sql import functions as F
+
+    from cheque_ocr_project_spark.sources.io import write_bucketed
+
+    a = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "t_bucket_a", ["k"], n_buckets=8)
+        write_bucketed(b, "t_bucket_b", ["k"], n_buckets=8)
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 20000
+        row = joined.filter(F.col("k") == 7).collect()[0]
+        assert row.va == 14 and row.vb == 21
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
