@@ -36,6 +36,14 @@ def _re2_ws(pat: str) -> str:
             nxt = pat[i + 1]
             if nxt == "s":
                 out.append(_WS_SET if in_class else f"[{_WS_SET}]")
+            elif nxt == "S":
+                # inverse split: RE2 \S matches \x0b, Java \S does not
+                if in_class:
+                    raise ValueError(
+                        r"\S inside a character class has no bracket-free "
+                        "expansion; spell the class out explicitly"
+                    )
+                out.append(f"[^{_WS_SET}]")
             else:
                 out.append(c + nxt)
             i += 2
@@ -69,7 +77,7 @@ def rr(expr: str, pat: str, repl: str) -> str:
 
 
 def collapse_ws(expr: str) -> str:
-    inner = rr(expr, r"[ \t\n\x0b\f\r]+", " ")
+    inner = rr(expr, r"\s+", " ")  # rx() expands the class
     return f"trim({inner})"
 
 
@@ -101,7 +109,7 @@ def is_garbage_sql(col: str) -> str:
             r"^[A-Z][OIZ]{4,}$",
             r"[OIZ]{5,}",
             r"^[A-Z]{1,2}$",
-            r"^[A-Z][ \t\n\x0b\f\r]*[A-Z]$",
+            r"^[A-Z][\s]*[A-Z]$",
         )
     )
     return (
@@ -135,11 +143,16 @@ def chain_regex_strip_sql(expr: str, patterns, flags: str = "gi") -> str:
 
 
 def pystrip_sql(expr: str) -> str:
-    """Python str.strip(): ALL whitespace (DuckDB trim strips spaces only)."""
-    # explicit ASCII class == Python str.strip()'s whitespace set; RE2 \s
-    # lacks \x0b so the bare class diverged on vertical tab
-    return (f"regexp_replace({expr}, "
-            f"'^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g')")
+    """Python str.strip() analog (DuckDB trim strips spaces only).
+
+    Dialect note: rx() expands \\s to the Java set [ \\t\\n\\x0b\\f\\r],
+    which is also what Catalyst evaluates — SQL twin and engine agree
+    exactly. Python's own strip()/\\s additionally treat \\x1c-\\x1f,
+    \\x85 and unicode spaces as whitespace, so the PYTHON-oracle-backed
+    paths can differ from both engines on those characters; the input
+    contract is text whose whitespace falls within the Java \\s set (a
+    production ingest normalizes exotic separators at the scan)."""
+    return rr(expr, r"^\s+|\s+$", "")
 
 
 def clean_payee_sql(col: str) -> str:
@@ -150,7 +163,7 @@ def clean_payee_sql(col: str) -> str:
     s = chain_regex_strip_sql(s, vocab.COMPANY_SUFFIX_PATTERNS)
     s = collapse_ws(s)
     # \w == [0-9A-Za-z_] in both dialects for ASCII input
-    s = rr(s, r"[^\w \t\n\x0b\f\r\.\-]", "")
+    s = rr(s, r"[^\w\s\.\-]", "")
     return (
         f"CASE WHEN {col} IS NULL OR length({col}) = 0 OR length({s}) < 2 "
         f"THEN 'XXX' ELSE {s} END"
@@ -165,7 +178,7 @@ def correct_spelling_sql(col: str) -> str:
     s = chain_replace_sql(s, vocab.SPELLING_CORRECTIONS)
     s = chain_replace_sql(s, [(w, "") for w in vocab.GARBAGE_WORDS])
     s = collapse_ws(s)
-    s = rr(s, r"[^A-Z \t\n\x0b\f\r]", "")
+    s = rr(s, r"[^A-Z\s]", "")
     return (
         f"CASE WHEN {col} IS NULL OR length({col}) = 0 THEN 'UNKNOWN' "
         f"WHEN length({s}) >= 3 THEN {s} ELSE 'UNKNOWN' END"

@@ -39,6 +39,8 @@ run-to-run, resumable, and recomputable by the correctness oracle.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -49,7 +51,10 @@ POLY_P = (1 << 31) - 1       # 2147483647, Mersenne prime
 POLY_MULT = 31
 SIMHASH_BITS = 62            # h1*2^31 + h2 < 2^62 — never negative in int64
 SIMHASH_MIX1 = 2654435761    # Knuth multiplicative finalizers: spread the
-SIMHASH_MIX2 = 1566083941    # low-entropy short-token polyhashes over 31 bits
+SIMHASH_MIX2 = 1566083941
+# Java-\s tokenizer set: keeps the SimHash tokenizer bit-aligned with its
+# RE2 SQL twin on control characters (str.split() also splits on \x1c-\x1f)
+_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")    # low-entropy short-token polyhashes over 31 bits
 DEFAULT_SEED = 13
 
 
@@ -292,7 +297,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit_weights = (np.uint64(1) << bit_idx).astype(np.int64)
         for pdf in pdf_iter:
             row_tokens = [
-                (t if isinstance(t, str) else "").upper().split()
+                [w for w in _WS_RE.split(
+                    (t if isinstance(t, str) else "").upper()) if w]
                 for t in pdf[text_col]
             ]
             counts = np.fromiter(

@@ -44,7 +44,21 @@ _FAKE_ORG_HINTS = (
     "LTD", "PVT", "ENTERPRISES", "INDUSTRIES", "TRADERS", "BANK", "CO",
     "STORES", "AGENCIES", "TEXTILES",
 )
-_CAP_SPAN = re.compile(r"\b([A-Z][A-Z]+(?:\s+[A-Z][A-Z]+){0,3})\b")
+# Explicit Java-\s whitespace set so the deterministic fallbacks tokenize
+# exactly like their SQL twins (Python str.split()/\s additionally treat
+# \x1c-\x1f, \x85 and unicode spaces as whitespace; RE2 and Java do not
+# — the contract tokenizer is the Java set).
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+_EXOTIC_WS_RE = re.compile("[\x1c\x1d\x1e\x1f\x85]")
+
+
+def _ws_split(text: str) -> list[str]:
+    return [t for t in _WS_RE.split(text) if t]
+
+
+_CAP_SPAN = re.compile(r"\b([A-Z][A-Z]+(?:[ \t\n\x0b\f\r]+[A-Z][A-Z]+){0,3})\b")
 
 
 def _load_ner():
@@ -69,7 +83,7 @@ def _load_ner():
             out = []
             for m in _CAP_SPAN.finditer(text[:512].upper()):
                 span = m.group(1)
-                label = "ORG" if any(h in span.split() for h in _FAKE_ORG_HINTS) else "PER"
+                label = "ORG" if any(h in _ws_split(span) for h in _FAKE_ORG_HINTS) else "PER"
                 out.append({"entity": span, "label": label,
                             "score": round(min(1.0, len(span) / 30 + 0.5), 4)})
             return out[:10], "fake"
@@ -125,10 +139,10 @@ DEFAULT_ZS_LABELS = ("government cheque", "business payment", "personal cheque")
 def zero_shot_overlap(text: str, labels) -> tuple[str, float]:
     """Deterministic fallback: label-word containment ratio; argmax with
     first-label tie-break. SQL-recomputable (plans/models_sql.py)."""
-    words = set(text[:512].upper().split())
+    words = set(_ws_split(text[:512].upper()))
     best_label, best = labels[0], -1.0
     for lab in labels:
-        lw = lab.upper().split()
+        lw = _ws_split(lab.upper())
         score = sum(1 for w in lw if w in words) / len(lw)
         if score > best:
             best_label, best = lab, score
@@ -274,10 +288,14 @@ def spell_correct_deterministic(text: str) -> tuple[str, float]:
     of aligned words unchanged."""
     from cheque_ocr_project_spark.oracle import cleaning
 
-    snippet = text[:512]
+    # Pre-normalize the separators only PYTHON's \s knows (\x1c-\x1f FS/GS/
+    # RS/US, \x85 NEL) to plain spaces before the parity oracle runs, so
+    # the stage's output is recomputable by the RE2 SQL twin without
+    # touching oracle/cleaning.py's reference semantics.
+    snippet = _EXOTIC_WS_RE.sub(" ", text[:512])
     corrected = cleaning.correct_spelling_ai(snippet)
-    a = snippet.upper().split()
-    b = corrected.upper().split()
+    a = _ws_split(snippet.upper())
+    b = _ws_split(corrected.upper())
     denom = max(len(a), len(b))
     if denom == 0:
         return corrected, 1.0
@@ -296,7 +314,7 @@ def _load_t5():
         def run(text: str):
             prompt = f"Fix the spelling: {text[:512]}"
             out = model(prompt, max_length=128)[0]["generated_text"]
-            a, b = text[:512].upper().split(), out.upper().split()
+            a, b = _ws_split(text[:512].upper()), _ws_split(out.upper())
             denom = max(len(a), len(b))
             conf = (sum(1 for x, y in zip(a, b) if x == y) / denom
                     if denom else 1.0)

@@ -70,8 +70,13 @@ FROM ans"""
 
 
 def sql_t5_spell() -> str:
-    corrected = D.correct_spelling_sql("text[1:512]")
-    a = "list_filter(string_split_regex(upper(text[1:512]), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+    # mirror of models.spell_correct_deterministic's exotic-separator
+    # pre-normalization (\x1c-\x1f, \x85 -> space)
+    snip = ("regexp_replace(text[1:512], "
+            "'[\x1c\x1d\x1e\x1f\x85]', ' ', 'g')")
+    corrected = D.correct_spelling_sql(snip)
+    a = (f"list_filter(string_split_regex(upper({snip}), "
+         f"'[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')")
     b = "list_filter(string_split_regex(corr, '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
     return f"""
 WITH t AS (

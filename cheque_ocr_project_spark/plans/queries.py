@@ -1455,7 +1455,7 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 def q_asof_join(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     # ONE pruned scan tags both streams; no pre-aggregation needed — the
     # ordering (ts, side, r_id) makes the running last() pick the highest
     # click_id among clicks sharing a timestamp, which is exactly the
@@ -1507,7 +1507,7 @@ def q_event_rollup(spark, sf_dir):
     grouping sets into a single shuffle instead of three scans. Money is
     summed in exact integer cents (round(value*100)) so the cross-engine
     compare never meets float-accumulation-order noise."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hr"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -1545,9 +1545,7 @@ def q_sessionize(spark, sf_dir):
     microseconds (no truncation-unit dialect risk)."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "user_id", "ts"
-    )
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
     prev_ts = F.lag("ts").over(w)

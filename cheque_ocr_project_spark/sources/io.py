@@ -116,13 +116,21 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
     """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
 
     Bucketing is THE co-location tool for repeated large-large joins at
-    corpus scale: two tables bucketed (and sorted) on the same keys with
-    the same bucket count join with ZERO exchange and zero sort — the
-    shuffle is paid once at write time instead of on every join
-    (`tests/test_scale_mechanics.py::test_bucketed_join_colocates` locks
-    the exchange-free SortMergeJoin plan). Reference analog: the
+    corpus scale: two tables bucketed on the same keys with the same
+    bucket count join with ZERO exchange — the shuffle is paid once at
+    write time instead of on every join. The per-join SORT also vanishes
+    when `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, which
+    is safe precisely because this writer produces one file per bucket
+    (multi-file buckets interleave, SPARK-28632).
+    `tests/test_scale_mechanics.py::test_bucketed_join_colocates` locks
+    both plan shapes. Reference analog: the
     reference re-reads and re-groups its master table per batch
     (issuer_processor_v.py); bucketing amortizes that into the layout."""
+    # One file per bucket: Spark only exploits sortBy metadata when every
+    # bucket is a single file (multi-file buckets force a per-join Sort).
+    # repartition uses the same Murmur3+pmod assignment as the bucket
+    # spec, so each write task holds exactly one bucket's rows.
+    df = df.repartition(n_buckets, *[F.col(k) for k in keys])
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

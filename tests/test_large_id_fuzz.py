@@ -46,8 +46,11 @@ _TEXTS = [
     "length line for shingle coverage across the window",
     # dialect torture: vertical tab + form feed separators (Java/Python \s
     # include \x0b, RE2 \s does not — the oracles use an explicit ASCII
-    # class so this row must stay bit-equal), bullet lines, ellipsis line
-    "alpha\x0bbeta gamma\fdelta words here\n- bullet line one\n"
+    # class so this row must stay bit-equal), plus \x1c/\x1d file/group
+    # separators (whitespace to PYTHON str.split()/\s but not to Java or
+    # RE2 — the contract tokenizer is the Java set, so these must be
+    # treated as token characters by BOTH engines), bullet lines, ellipsis
+    "alpha\x0bbeta gamma\fdelta words\x1chere\x1dtoo\n- bullet line one\n"
     "* bullet two\ntrailing thought...\nthe end of it all",
 ]
 _SOURCES = ["src0", "src1", "src2", "src3", "web"]

@@ -232,6 +232,30 @@ def test_bucketed_join_colocates(spark):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, plan
+        # The per-join SORT also disappears when the scan is allowed to
+        # report the write-time bucket ordering (off by default since
+        # SPARK-28632 because multi-file buckets interleave; write_bucketed
+        # guarantees one file per bucket, which is the case the flag is
+        # safe for). "Sort [" matches the standalone node, not the
+        # SortMergeJoin token.
+        import re as _re
+
+        assert _re.search(r"\bSort \[", plan)  # default: sort present
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        try:
+            plan2 = (
+                spark.table("t_bucket_a")
+                .join(spark.table("t_bucket_b"), "k")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.unset(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering"
+            )
+        assert "Exchange" not in plan2
+        assert not _re.search(r"\bSort \[", plan2), plan2
         assert joined.count() == 20000
         row = joined.filter(F.col("k") == 7).collect()[0]
         assert row.va == 14 and row.vb == 21
