@@ -6,6 +6,15 @@
 - ``oracle_sql()``  — matching DuckDB SQL per query (omitted only for the
                       difflib-backed flagship, which gets a rows-only check)
 
+Timezone contract: the timestamp-bearing queries (asof_join, sessionize,
+event_rollup, ...) compare bit-equal against DuckDB only when Spark's
+session timezone is UTC — Spark renders TIMESTAMP columns through the
+session zone while DuckDB truncates/render them naive. Rather than assume
+the external driver's session config, every contract callable pins
+``spark.sql.session.timeZone=UTC`` (a runtime SQL conf) before building
+its plan, so a non-UTC driver host cannot silently diverge from the
+oracle.
+
 Implementation lives in cheque_ocr_project_spark.plans.queries; the local
 parity test tests/test_driver_contract.py mirrors the driver's comparison.
 """
@@ -21,13 +30,26 @@ from cheque_ocr_project_spark.plans import queries as Q
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _pin_utc(spark)
     return Q.q_flagship_extract(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return Q.queries()
+    def with_utc(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_utc(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", "query")
+        return wrapped
+
+    return {name: with_utc(fn) for name, fn in Q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -51,10 +51,10 @@ POLY_P = (1 << 31) - 1       # 2147483647, Mersenne prime
 POLY_MULT = 31
 SIMHASH_BITS = 62            # h1*2^31 + h2 < 2^62 — never negative in int64
 SIMHASH_MIX1 = 2654435761    # Knuth multiplicative finalizers: spread the
-SIMHASH_MIX2 = 1566083941
+SIMHASH_MIX2 = 1566083941    # low-entropy short-token polyhashes over 31 bits
 # Java-\s tokenizer set: keeps the SimHash tokenizer bit-aligned with its
 # RE2 SQL twin on control characters (str.split() also splits on \x1c-\x1f)
-_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")    # low-entropy short-token polyhashes over 31 bits
+_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
 DEFAULT_SEED = 13
 
 

@@ -71,9 +71,11 @@ FROM ans"""
 
 def sql_t5_spell() -> str:
     # mirror of models.spell_correct_deterministic's exotic-separator
-    # pre-normalization (\x1c-\x1f, \x85 -> space)
+    # pre-normalization (\x1c-\x1f, \x85 -> space). The class is rendered
+    # with RE2 hex escapes — NOT raw control bytes — so the generated SQL
+    # stays byte-clean and the characters are visible in logs/diffs.
     snip = ("regexp_replace(text[1:512], "
-            "'[\x1c\x1d\x1e\x1f\x85]', ' ', 'g')")
+            r"'[\x1c-\x1f\x{0085}]', ' ', 'g')")
     corrected = D.correct_spelling_sql(snip)
     a = (f"list_filter(string_split_regex(upper({snip}), "
          f"'[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')")

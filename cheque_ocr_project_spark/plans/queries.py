@@ -1011,7 +1011,13 @@ def documents_as_transcripts(spark, sf_dir) -> DataFrame:
         # id to a unique key. SQL twins in flagship_sql.py / models_sql.py
         # mirror the same expressions.
         # F.concat (not concat_ws) so a NULL source yields NULL conv_id,
-        # matching the SQL twins' null-propagating || operator
+        # matching the SQL twins' null-propagating || operator.
+        # Injectivity assumption: no ``source`` value ends in '-<digits>'
+        # (else 'a-1' high 0 and 'a' high 10 would both render 'a-1-0');
+        # the testdata sources ('src0'..'srcN') satisfy it, and both
+        # engines compute the identical string so oracle parity holds
+        # regardless — only the per-(conv_id, turn_idx) uniqueness argument
+        # relies on it.
         F.concat(
             F.col("source"), F.lit("-"),
             F.expr("CAST(doc_id div 2147483648 AS STRING)"),

@@ -135,3 +135,32 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
+    _assert_one_file_per_bucket(df.sparkSession, table)
+
+
+def _assert_one_file_per_bucket(spark: SparkSession, table: str) -> None:
+    """Enforce (not assume) the one-file-per-bucket invariant the legacy
+    outputOrdering flag depends on: a caller session with
+    ``spark.sql.files.maxRecordsPerFile`` set would silently split a
+    bucket across files, making sort-elision unsafe (SPARK-28632). Spark
+    bucketed data files carry the bucket id as the ``_NNNNN`` suffix."""
+    import re as _re
+    from pathlib import Path
+
+    loc_row = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter(F.col("col_name") == "Location").collect()
+    )
+    loc = loc_row[0]["data_type"].removeprefix("file:")
+    counts: dict[str, int] = {}
+    for p in Path(loc).glob("part-*"):
+        m = _re.search(r"_(\d{5})\.", p.name)
+        if m:
+            counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    multi = {b: n for b, n in counts.items() if n > 1}
+    if multi:
+        raise AssertionError(
+            f"bucketed table {table} has multi-file buckets {multi}; "
+            "unset spark.sql.files.maxRecordsPerFile — the legacy "
+            "bucketedTableScan.outputOrdering sort-elision would be unsafe"
+        )
