@@ -111,11 +111,23 @@ def hyperplane_signatures(spark: SparkSession, df: DataFrame, id_col: str,
 def lsh_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
              dim: int, k: int = 5, n_planes: int = 12, n_bands: int = 6,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 29) -> DataFrame:
-    """Approximate top-k: only same-LSH-band (query, corpus) pairs scored."""
+             seed: int = 29, max_bucket: int | None = None) -> DataFrame:
+    """Approximate top-k: only same-LSH-band (query, corpus) pairs scored.
+
+    ``max_bucket`` caps the CORPUS side of the band join via
+    dedup.cap_bucket_size: candidate count per band is |corpus bucket| x
+    |query bucket|, so one hot band (millions of near-identical embeddings
+    in a crawl) multiplies against every query probing it — the same
+    quadratic-blowup shape the MinHash/SimHash joins already cap. A capped
+    corpus bucket's vectors can still surface through their other bands;
+    recall loss is observable via dedup.oversized_buckets on the exploded
+    signature relation."""
+    from cheque_ocr_project_spark.operators.dedup import cap_bucket_size
+
     corpus_sig = hyperplane_signatures(
         spark, emb, id_col, vec_col, dim, n_planes, n_bands, seed
     ).select(F.col("id").alias(id_col), F.explode("bands").alias("band_key"))
+    corpus_sig = cap_bucket_size(corpus_sig, "band_key", max_bucket)
     query_sig = hyperplane_signatures(
         spark, queries.select(F.col("query_id").alias(id_col), F.col("qvec").alias(vec_col)),
         id_col, vec_col, dim, n_planes, n_bands, seed,
@@ -234,12 +246,22 @@ def ivf_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
 def cosine_near_dup_pairs(spark: SparkSession, emb: DataFrame, dim: int,
                           threshold: float = 0.9, n_planes: int = 12,
                           n_bands: int = 6, id_col: str = "vec_id",
-                          vec_col: str = "embedding",
-                          seed: int = 29) -> DataFrame:
-    """Embedding near-duplicates: cosine >= threshold among band-mates."""
+                          vec_col: str = "embedding", seed: int = 29,
+                          max_bucket: int | None = None) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold among band-mates.
+
+    ``max_bucket`` (off by default) drops hot LSH bands before the
+    self-join — candidate pairs are QUADRATIC in bucket size, so this is
+    the same production guard the MinHash path carries
+    (dedup.cap_bucket_size); members of a dropped band can still pair
+    through their other bands, and dedup.oversized_buckets over the
+    exploded signatures is the observability twin."""
+    from cheque_ocr_project_spark.operators.dedup import cap_bucket_size
+
     sigs = hyperplane_signatures(
         spark, emb, id_col, vec_col, dim, n_planes, n_bands, seed
     ).select(F.col("id"), F.explode("bands").alias("band_key"))
+    sigs = cap_bucket_size(sigs, "band_key", max_bucket)
     left = sigs.select("band_key", F.col("id").alias("id_a"))
     right = sigs.select("band_key", F.col("id").alias("id_b"))
     cand = (

@@ -885,6 +885,54 @@ def q_embedding_lsh_near_dup(spark, sf_dir):
     return SIM.cosine_near_dup_pairs(spark, emb, dim=64, threshold=0.3)
 
 
+# Production bucket caps for the embedding-LSH joins (VERDICT r04 #2 —
+# the last pair-generating joins without a hot-bucket guard). Both BIND at
+# sf0.01: near-dup drops 59 -> 39 pairs at cap 8 (max observed bucket 17);
+# the top-k cap 90 drops the four hottest 4-bit bands (sizes 121-133) and
+# changes the returned neighbor set — the driver hash proves the capped
+# semantics, not just that the code path ran.
+EMB_LSH_CAP = 8
+ANN_LSH_CAP = 90
+
+
+def q_embedding_lsh_near_dup_capped(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    emb = _embeddings(spark, sf_dir)
+    return SIM.cosine_near_dup_pairs(
+        spark, emb, dim=64, threshold=0.3, max_bucket=EMB_LSH_CAP
+    )
+
+
+def _sql_embedding_lsh_near_dup_capped():
+    from cheque_ocr_project_spark.plans import similarity_sql
+
+    return similarity_sql.sql_embedding_lsh_near_dup(
+        dim=64, threshold=0.3, max_bucket=EMB_LSH_CAP
+    )
+
+
+def q_ann_lsh_topk_capped(spark, sf_dir):
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    emb = _embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.lsh_topk(
+        spark, emb, queries_df, dim=64, k=5, n_planes=4, n_bands=24,
+        max_bucket=ANN_LSH_CAP,
+    )
+
+
+def _sql_ann_lsh_topk_capped():
+    from cheque_ocr_project_spark.plans import similarity_sql
+
+    return similarity_sql.sql_ann_lsh_topk(
+        dim=64, k=5, n_planes=4, n_bands=24, max_bucket=ANN_LSH_CAP
+    )
+
+
 def _sql_ann_lsh_topk():
     from cheque_ocr_project_spark.plans import similarity_sql
 
@@ -2007,7 +2055,11 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),
+    "embedding_lsh_near_dup_capped": (
+        q_embedding_lsh_near_dup_capped, _sql_embedding_lsh_near_dup_capped
+    ),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk),
+    "ann_lsh_topk_capped": (q_ann_lsh_topk_capped, _sql_ann_lsh_topk_capped),
     "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk),
     "media_image_features": (q_media_image_features, _sql_media_image_features),
     "media_audio_features": (q_media_audio_features, _sql_media_audio_features),

@@ -35,24 +35,35 @@ def _keys_array(dim: int, n_planes: int, n_bands: int, seed: int) -> str:
 
 
 def _sig_cte(src_sql: str, id_alias: str, vec: str, dim: int, n_planes: int,
-             n_bands: int, seed: int) -> str:
+             n_bands: int, seed: int,
+             max_bucket: int | None = None) -> str:
     """(id, band_key) relation: quantize once per row, build the key array,
-    unnest it."""
+    unnest it. ``max_bucket`` mirrors dedup.cap_bucket_size on the Spark
+    side; here band_key IS the band value (a 'b:code' string, no hashing),
+    so the partition key is exactly the Spark cap key."""
     keys = _keys_array(dim, n_planes, n_bands, seed)
     q = QUANT.format(vec=vec)
-    return f"""(
+    inner = f"""(
   SELECT {id_alias}, unnest(keys) AS band_key FROM (
     SELECT {id_alias}, {keys} AS keys FROM (
       SELECT {id_alias}, {q} AS q FROM {src_sql}
     )
   )
 )"""
+    if max_bucket is None:
+        return inner
+    # QUALIFY cannot sit on the unnest projection itself — wrap one level
+    return f"""(
+  SELECT {id_alias}, band_key FROM {inner}
+  QUALIFY count(*) OVER (PARTITION BY band_key) <= {max_bucket}
+)"""
 
 
 def sql_ann_lsh_topk(dim: int = 64, k: int = 5, n_planes: int = 4,
-                     n_bands: int = 24, seed: int = 29) -> str:
+                     n_bands: int = 24, seed: int = 29,
+                     max_bucket: int | None = None) -> str:
     corpus_sig = _sig_cte("embeddings", "vec_id", "embedding",
-                          dim, n_planes, n_bands, seed)
+                          dim, n_planes, n_bands, seed, max_bucket)
     query_sig = _sig_cte("q", "query_id", "qvec", dim, n_planes, n_bands, seed)
     sim = COSINE.format(a="e.embedding", b="qq.qvec")
     return f"""
@@ -137,9 +148,10 @@ SELECT query_id, neighbor_id, sim, rn FROM (
 
 def sql_embedding_lsh_near_dup(dim: int = 64, threshold: float = 0.3,
                                n_planes: int = 12, n_bands: int = 6,
-                               seed: int = 29) -> str:
+                               seed: int = 29,
+                               max_bucket: int | None = None) -> str:
     sig = _sig_cte("embeddings", "vec_id", "embedding",
-                   dim, n_planes, n_bands, seed)
+                   dim, n_planes, n_bands, seed, max_bucket)
     sim = COSINE.format(a="ea.embedding", b="eb.embedding")
     return f"""
 WITH sig AS {sig},

@@ -350,3 +350,59 @@ def test_stratified_sample_deterministic_and_growth_stable(spark):
     kept_full = {r[0] for r in kept.select("doc_id").collect()
                  if r[0] < 10000}
     assert kept_half == kept_full
+
+
+def test_embedding_lsh_cap_bounds_planted_hot_band(spark):
+    """VERDICT r04 #2: the embedding-LSH band joins get the same hot-bucket
+    guard as MinHash/SimHash. 3000 identical embeddings occupy one bucket
+    in EVERY band (~4.5M candidate pairs per band uncapped — the 100 TB
+    crawl failure mode); cap_bucket_size must bound the pair count,
+    oversized_buckets must surface the dropped buckets, and a distinct
+    near-dup pair must survive through its own small buckets."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    base = rng.randn(dim)
+    other = rng.randn(dim)
+    near = other + 0.01 * rng.randn(dim)     # cosine(other, near) ~ 1
+    rows = [(i, [float(x) for x in base]) for i in range(3000)]
+    rows += [(10_000, [float(x) for x in other]),
+             (10_001, [float(x) for x in near])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = SIM.cosine_near_dup_pairs(
+        spark, emb, dim=dim, threshold=0.9, n_planes=12, n_bands=6,
+        max_bucket=64,
+    )
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # clone-bucket pairs are dropped wholesale; candidates stay bounded by
+    # (bands x cap^2), nowhere near the 4.5M-per-band uncapped blowup
+    assert len(pairs) <= 6 * 64 * 64
+    assert (10_000, 10_001) in pairs         # real near-dup survives
+
+    # no silent caps: the dropped hot buckets are observable
+    sigs = SIM.hyperplane_signatures(
+        spark, emb, "vec_id", "embedding", dim, 12, 6
+    ).select("id", F.explode("bands").alias("band_key"))
+    over = DD.oversized_buckets(sigs, "band_key", 64)
+    assert over.count() >= 6                 # one hot bucket per band
+    assert over.agg(F.max("count")).first()[0] >= 3000
+
+    # lsh_topk corpus-side cap: the hot corpus bucket is dropped, queries
+    # still resolve neighbors among the surviving buckets
+    queries_df = emb.filter(F.col("vec_id") >= 10_000).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    topk = SIM.lsh_topk(
+        spark, emb, queries_df, dim=dim, k=3, n_planes=12, n_bands=6,
+        max_bucket=64,
+    )
+    got = topk.collect()
+    assert got, "capped top-k returned nothing"
+    by_q = {r.query_id for r in got}
+    assert 10_000 in by_q and 10_001 in by_q
+    # every scored candidate came from a surviving (small) bucket: the
+    # 3000-clone ids can only appear if some band separated them, which
+    # identical vectors cannot do — so neighbors are the distinct pair
+    assert all(r.neighbor_id >= 10_000 for r in got)
