@@ -1642,6 +1642,180 @@ SELECT event_id, user_id, ts,
 FROM f"""
 
 
+# ---------------------------------------------------------------------------
+# Whale-user de-skew (VERDICT r04 #3): the plain sessionize/asof windows
+# partition by user_id, so one bot user with 10^8 events pins a single
+# task at 100x scale — the same failure shape pack_sequences' two-pass
+# prefix sum fixed in round 4. Both computations are decomposable the same
+# way: partition by (user_id, ts-chunk) — bounded by the event rate times
+# the chunk width, not by a user's total history — compute per-chunk
+# partials, then combine across a user's chunks on the (much smaller)
+# chunk-summary relation, and join the per-chunk offsets back on the keys
+# the intra window already partitioned by (no extra exchange of the big
+# side). Contract queries prove both variants bit-equal to the SAME DuckDB
+# oracles as the single-window forms.
+# ---------------------------------------------------------------------------
+
+SESSION_CHUNK_US = 24 * 3600 * 1_000_000  # 1-day chunks: sf0.01 events span
+                                          # 30 days, so ~30 chunks/user bind
+
+
+def _epoch_us(col) -> "F.Column":
+    """Microseconds since epoch for a TIMESTAMP_NTZ column (the events
+    contract type): timestamp_diff from an NTZ epoch literal — unlike
+    unix_micros/cast-to-long this neither requires an instant type nor
+    consults the session timezone."""
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )
+
+
+def sessionize_chunked(ev: DataFrame, gap_us: int = SESSION_GAP_US,
+                       chunk_us: int = SESSION_CHUNK_US) -> DataFrame:
+    """Gap sessionization as a two-pass distributed running sum.
+
+    Pass 1 (bounded partitions): within each (user_id, chunk) — chunk =
+    unix_micros(ts) div chunk_us, tz-independent — lag gives each
+    non-first event its new-session flag and a running intra-chunk count.
+    Pass 2 (chunk summaries, one row per non-empty (user, chunk)): a lag
+    over a user's chunk rows resolves each chunk's FIRST event against the
+    previous chunk's last timestamp (empty chunks simply have no row), and
+    a running sum of per-chunk totals yields the session-count offset each
+    chunk inherits. session_seq = offset + boundary + intra running count.
+    The final equi-join is on (user_id, chunk) — the exact partitioning
+    the intra window already established."""
+    from pyspark.sql import Window
+
+    # exact integer division (a double quotient could truncate wrong at
+    # chunk boundaries); epochs are non-negative by the events contract
+    e = ev.select(
+        "event_id", "user_id", "ts", _epoch_us(F.col("ts")).alias("__us")
+    ).select(
+        "event_id", "user_id", "ts",
+        F.expr(f"__us div {chunk_us}").alias("chunk"),
+    )
+
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    wc = Window.partitionBy("user_id", "chunk").orderBy(*order)
+    prev_ts = F.lag("ts").over(wc)
+    gap = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
+    intra_flag = F.when(prev_ts.isNull(), 0).otherwise(
+        F.when(gap > gap_us, 1).otherwise(0)
+    )
+    run = wc.rowsBetween(Window.unboundedPreceding, 0)
+    e = e.select(
+        "event_id", "user_id", "ts", "chunk",
+        prev_ts.isNull().alias("first_in_chunk"),
+        intra_flag.alias("intra_flag"),
+    ).withColumn("intra_run", F.sum("intra_flag").over(run))
+
+    summary = e.groupBy("user_id", "chunk").agg(
+        F.min(_epoch_us(F.col("ts"))).alias("first_us"),
+        F.max(_epoch_us(F.col("ts"))).alias("last_us"),
+        F.sum("intra_flag").alias("n_intra"),
+    )
+    ws = Window.partitionBy("user_id").orderBy(F.col("chunk").asc())
+    prev_last = F.lag("last_us").over(ws)
+    boundary = F.when(
+        prev_last.isNull() | (F.col("first_us") - prev_last > gap_us), 1
+    ).otherwise(0)
+    summary = summary.withColumn("boundary", boundary).withColumn(
+        "offset",
+        F.coalesce(
+            F.sum(F.col("boundary") + F.col("n_intra")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("user_id", "chunk", "boundary", "offset")
+
+    joined = e.join(summary, ["user_id", "chunk"])
+    new_sess = F.when(
+        F.col("first_in_chunk"), F.col("boundary")
+    ).otherwise(F.col("intra_flag"))
+    return joined.select(
+        "event_id", "user_id", "ts",
+        (F.col("offset") + F.col("boundary") + F.col("intra_run"))
+        .cast("long").alias("session_seq"),
+        (new_sess == 1).alias("is_session_start"),
+    )
+
+
+def q_sessionize_chunked(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return sessionize_chunked(ev)
+
+
+def asof_join_chunked(ev: DataFrame,
+                      chunk_us: int = SESSION_CHUNK_US) -> DataFrame:
+    """As-of join as a two-pass running last: the carried latest-click
+    struct is decomposable exactly like a running sum. Pass 1 carries it
+    within bounded (user_id, chunk) partitions; pass 2 takes each chunk's
+    last click (max struct — same (ts, r_id) order the running last uses)
+    and carries the last non-null across a user's chunk summaries; the
+    per-event answer is coalesce(intra carry, previous chunks' carry)."""
+    from pyspark.sql import Window
+
+    side = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    tagged = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id", "ts", side.alias("side"),
+            _epoch_us(F.col("ts")).alias("__us"),
+            F.when(F.col("event_type") == "click", F.col("event_id"))
+            .alias("r_id"),
+            F.when(F.col("event_type") == "purchase", F.col("event_id"))
+            .alias("l_id"),
+        )
+        .select(
+            "user_id", "ts", "side", "r_id", "l_id",
+            F.expr(f"__us div {chunk_us}").alias("chunk"),
+        )
+    )
+    wc = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("r_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = tagged.select(
+        "user_id", "ts", "side", "chunk", "l_id",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("ts", "r_id")),
+            ignorenulls=True,
+        ).over(wc).alias("c_intra"),
+    )
+
+    summary = tagged.groupBy("user_id", "chunk").agg(
+        F.max(
+            F.when(F.col("side") == 0, F.struct("ts", "r_id"))
+        ).alias("chunk_last"),
+    )
+    ws = Window.partitionBy("user_id").orderBy(F.col("chunk").asc())
+    summary = summary.select(
+        "user_id", "chunk",
+        F.last("chunk_last", ignorenulls=True).over(
+            ws.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("c_prev"),
+    )
+
+    joined = intra.join(summary, ["user_id", "chunk"])
+    c = F.coalesce(F.col("c_intra"), F.col("c_prev"))
+    return (
+        joined.filter(F.col("side") == 1)
+        .select(
+            F.col("l_id").alias("event_id"), "user_id", "ts",
+            c.getField("r_id").alias("click_id"),
+            c.getField("ts").alias("click_ts"),
+            F.timestamp_diff("MICROSECOND", c.getField("ts"), F.col("ts"))
+            .alias("gap_us"),
+        )
+    )
+
+
+def q_asof_join_chunked(spark, sf_dir):
+    return asof_join_chunked(_events(spark, sf_dir))
+
+
 SQL_ASOF_JOIN = """
 WITH clicks AS (
   SELECT user_id, ts, max(event_id) AS click_id
@@ -2047,7 +2221,9 @@ REGISTRY: dict[str, tuple] = {
     "gopher_quality": (q_gopher_quality, sql_gopher_quality),
     "rep_top_bigram": (q_rep_top_bigram, SQL_REP_TOP_BIGRAM),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "sessionize_chunked": (q_sessionize_chunked, SQL_SESSIONIZE),
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),

@@ -263,3 +263,89 @@ def test_bucketed_join_colocates(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_sessionize_asof_whale_user_skew(spark, tmp_path):
+    """VERDICT r04 #3: one bot user owning ~90% of events must not pin a
+    single window task. The chunked two-pass variants bound every window
+    partition by (user, day-chunk) — orders of magnitude below the whale's
+    total history — while staying bit-equal to the single-window forms
+    (which are themselves driver-oracle-proven) and to the DuckDB oracle."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    rng = np.random.RandomState(11)
+    rows = []
+    eid = 0
+
+    def emit(user, n_events, start_s):
+        nonlocal eid
+        t = start_s
+        for _ in range(n_events):
+            # gaps straddle the 30-min session threshold AND the 1-day
+            # chunk width: in-session ticks, session breaks, chunk-crossing
+            # silences
+            t += int(rng.choice([5, 40, 300, 2100, 5400, 90_000],
+                                p=[.35, .25, .2, .1, .05, .05]))
+            kind = rng.choice(["click", "purchase", "view"], p=[.5, .3, .2])
+            rows.append((eid, user, t, kind))
+            eid += 1
+            if kind == "click" and rng.rand() < 0.1:
+                # equal-ts click twin: exercises the max-click_id-per-ts
+                # tiebreak across the chunk machinery
+                rows.append((eid, user, t, "click"))
+                eid += 1
+
+    emit(user=1, n_events=18_000, start_s=1_700_000_000)   # the whale
+    for u in range(2, 12):
+        emit(user=u, n_events=200, start_s=1_700_000_000 + u * 977)
+
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_s", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts_s"], unit="s")
+    df["value"] = 1.0
+    ev = df[["event_id", "user_id", "ts", "event_type", "value"]]
+    d = tmp_path / "whale_sf"
+    d.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   d / "events.parquet", coerce_timestamps="us")
+
+    # (a) bounded parallel units: no (user, chunk) partition holds more
+    # than a sliver of the whale's 18k-event history
+    sizes = (
+        spark.read.parquet(f"{d}/events.parquet")
+        .select("user_id", Q._epoch_us(F.col("ts")).alias("us"))
+        .select("user_id", F.expr(f"us div {Q.SESSION_CHUNK_US}").alias("chunk"))
+        .groupBy("user_id", "chunk").count()
+    )
+    mx = sizes.agg(F.max("count")).collect()[0][0]
+    n_whale_chunks = sizes.filter(F.col("user_id") == 1).count()
+    assert n_whale_chunks >= 20, f"whale spans only {n_whale_chunks} chunks"
+    assert mx <= 2500, f"chunked partition still whale-sized: {mx}"
+
+    # (b) chunked == single-window, bit for bit
+    def pdf(out, keys):
+        return (out.toPandas().sort_values(keys).reset_index(drop=True)
+                .astype(str))
+
+    s1 = pdf(Q.q_sessionize(spark, str(d)), ["event_id"])
+    s2 = pdf(Q.q_sessionize_chunked(spark, str(d)), ["event_id"])
+    assert s1.equals(s2)
+    a1 = pdf(Q.q_asof_join(spark, str(d)), ["event_id"])
+    a2 = pdf(Q.q_asof_join_chunked(spark, str(d)), ["event_id"])
+    assert a1.equals(a2)
+
+    # (c) and both match the independent DuckDB oracles on this corpus
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    o = con.execute(Q.SQL_SESSIONIZE).df()
+    o = o.sort_values(["event_id"]).reset_index(drop=True).astype(str)
+    assert s2[sorted(s2.columns)].equals(o[sorted(o.columns)])
+    oa = con.execute(Q.SQL_ASOF_JOIN).df()
+    oa = oa.sort_values(["event_id"]).reset_index(drop=True).astype(str)
+    assert a2[sorted(a2.columns)].equals(oa[sorted(oa.columns)])
