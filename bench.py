@@ -25,6 +25,14 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATION", "20"))
+# 1-min load above which a pass counts as contaminated by shared-sandbox
+# CPU steal (quiet-box baseline is ~1-3 on this 32-core host; the r04
+# phantom regressions were recorded at loads 9-16). A spike can only
+# INFLATE a pass, never deflate it, so extra quiet passes pull min-of-K
+# down to the true value.
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "6"))
+RETIME_SLEEP_S = int(os.environ.get("SPARK_GRAFT_RETIME_SLEEP_S", "20"))
+RETIME_BUDGET = int(os.environ.get("SPARK_GRAFT_RETIME_BUDGET", "18"))
 
 # Headline driver-contract queries (cheap ones excluded; these exercise the
 # interesting plans: regex-heavy scans, window top-1, joins, ANN).
@@ -171,6 +179,54 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = timed(registry[name], passes=3, record=name)
 
+    # Load-aware re-timing (VERDICT r04 #1): two consecutive rounds the
+    # archived minima came from contaminated passes and read as phantom
+    # regressions. Any record whose BEST pass started above QUIET_LOAD gets
+    # bounded extra passes (global budget, short pre-sleep for the spike to
+    # drain); the final record tags every headline min with the load of the
+    # pass that produced it, plus an explicit contaminated-after-retries
+    # list when the budget ran out while the box stayed hot.
+    def min_pass_load(rec: str) -> float:
+        vals, loads = headline_passes[rec], pass_loads[rec]
+        return loads[min(range(len(vals)), key=lambda j: vals[j])]
+
+    def one_pass(rec: str) -> None:
+        pass_loads[rec].append(round(os.getloadavg()[0], 2))
+        t0 = time.perf_counter()
+        if rec.startswith("flagship_"):
+            eng = rec.removeprefix("flagship_")
+            P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        else:
+            registry[rec](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        headline_passes[rec].append(round(time.perf_counter() - t0, 3))
+
+    retime_budget = RETIME_BUDGET
+    retime_order = [f"flagship_{e}" for e in engine_secs] + list(HEADLINE)
+    for rec in retime_order:
+        for _ in range(2):                      # <= 2 retries per record
+            if min_pass_load(rec) <= QUIET_LOAD or retime_budget <= 0:
+                break
+            if os.getloadavg()[0] > QUIET_LOAD:
+                time.sleep(RETIME_SLEEP_S)      # give the spike a chance
+            one_pass(rec)
+            retime_budget -= 1
+
+    # fold re-timed minima back into the records
+    for eng in list(engine_secs):
+        engine_secs[eng] = min(headline_passes[f"flagship_{eng}"])
+    flagship_sec = engine_secs["arrow"]
+    timings["flagship_extract"] = round(flagship_sec, 3)
+    turns_per_sec = n_turns / flagship_sec if flagship_sec else 0.0
+    for name in HEADLINE:
+        timings[name] = round(min(headline_passes[name]), 3)
+
+    min_loads = {rec: min_pass_load(rec) for rec in retime_order}
+    contaminated = sorted(r for r, ld in min_loads.items() if ld > QUIET_LOAD)
+
     total = round(sum(timings.values()), 3)
 
     # Secondary breadth sweep: EVERY registered query (headline set above is
@@ -214,6 +270,9 @@ def main() -> None:
                 },
                 "cpus": CPUS,
                 "load_avg": round(os.getloadavg()[0], 2),
+                "quiet_load_threshold": QUIET_LOAD,
+                "min_pass_loads": min_loads,
+                "contaminated_after_retries": contaminated,
             }
         )
     )
