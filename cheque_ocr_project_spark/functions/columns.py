@@ -325,3 +325,24 @@ def is_bank_or_metadata(col: Column) -> Column:
     """= oracle.predicates.is_bank_or_metadata."""
     u = F.upper(col)
     return any_term(u, vocab.PAYEE_BANK_TERMS) | any_term(u, vocab.PAYEE_METADATA_TERMS)
+
+
+# Every character Python's str.split()/\s treats as whitespace that Java's
+# \s does NOT ([ \t\n\x0b\f\r]): the ASCII control separators, NEL, and the
+# Unicode space separators. This is exactly the documented residual where
+# the Python-oracle flagship path can diverge from its Catalyst twins
+# (PLANS.md round 4); normalizing them to ' ' at the scan boundary makes
+# every engine dialect agree on the input.
+EXOTIC_SEPARATORS = (
+    "\x1c\x1d\x1e\x1f\x85\xa0 "
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "    　"
+)
+
+
+def normalize_separators(col: Column) -> Column:
+    """Map the Python-only whitespace characters to a plain space — the
+    opt-in scan-boundary normalizer (job.py --normalize-ws). A single
+    translate (no regex engine, whole-stage-codegen friendly): 1:1
+    char substitution is all the mapping needs."""
+    return F.translate(col, EXOTIC_SEPARATORS, " " * len(EXOTIC_SEPARATORS))

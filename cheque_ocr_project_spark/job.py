@@ -48,6 +48,11 @@ def build_args(argv=None):
                          "(without it, a fresh run into a populated output "
                          "directory fails instead of silently destroying "
                          "resume state)")
+    ap.add_argument("--normalize-ws", action="store_true",
+                    help="normalize exotic separators (\\x1c-\\x1f, NEL, "
+                         "Unicode spaces) to plain spaces at the scan "
+                         "boundary, so the Python-oracle and Catalyst "
+                         "engines agree beyond the ASCII input contract")
     ap.add_argument("--limit", type=int, default=None)
     return ap.parse_args(argv)
 
@@ -102,6 +107,14 @@ def main(argv=None) -> None:
     transcripts = io.read_transcripts(spark, args.input)
     if args.limit:
         transcripts = transcripts.limit(args.limit)
+    if args.normalize_ws:
+        from pyspark.sql import functions as F
+
+        from cheque_ocr_project_spark.functions import columns as C
+
+        transcripts = transcripts.withColumn(
+            "text", C.normalize_separators(F.col("text"))
+        )
 
     if args.dict_source:
         raw_names = [
