@@ -15,6 +15,8 @@ tests/test_pipeline_equality.py).
 from __future__ import annotations
 
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1941,6 +1943,73 @@ WHERE ({quality}) >= 0.5 AND ({stop_ratio}) >= 0.05
   AND doc_id NOT IN (SELECT doc_id FROM shadowed)"""
 
 
+# Gopher repetition threshold for corpus_filter_v2: drop a doc when its
+# most frequent bigram covers >= 1/5 of all bigram slots (Gopher's
+# published top-2-gram threshold is 0.18; the integer form keeps the
+# cross-engine compare float-free: cnt * 5 < word_count - 1). The
+# synthetic sf corpus has no doc this repetitive inside the composed
+# survivor set (max ratio 0.06 at sf0.01), so the gate's bite is proven by
+# a planted-positive test rather than by tuning the threshold into
+# unrealism (tests/test_driver_contract.py::test_corpus_filter_v2_rep_gate_bites).
+REP_BIGRAM_DEN = 5
+
+# The six structural Gopher gates. ok_stopwords is deliberately NOT in the
+# composed filter: the language/common-word signal already enters through
+# corpus_filter's stop_ratio >= 0.05, and a per-corpus deployment tunes the
+# stopword list to its vocabulary (the synthetic corpus contains none of
+# the eight Gopher English stopwords, so the untuned gate would zero the
+# output rather than filter it).
+GOPHER_STRUCTURAL_GATES = (
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+    "ok_bullet", "ok_ellipsis", "ok_alpha",
+)
+
+
+def q_corpus_filter_v2(spark, sf_dir):
+    """The realistic end-to-end pre-training corpus gate (VERDICT r04 #6):
+    corpus_filter's exact-dedup + quality + lang + capped near-dup
+    anti-join, composed with the structural Gopher gates and the
+    top-bigram repetition rule.
+
+    Scale shape: the three branches each keep their own scan (gopher and
+    repetition are per-row/one-agg pipelines; corpus_filter carries the
+    dedup machinery); the joins land on the high-cardinality doc_id key,
+    and the repetition gate is a LEFT join so bigram-less docs (already
+    excluded by the Gopher word-count floor) cannot silently vanish on a
+    join miss."""
+    base = q_corpus_filter(spark, sf_dir)
+    gates = [F.col(g) for g in GOPHER_STRUCTURAL_GATES]
+    gq = q_gopher_quality(spark, sf_dir).filter(
+        reduce(lambda a, b: a & b, gates)
+    ).select("doc_id", "word_count")
+    rep = q_rep_top_bigram(spark, sf_dir).select(
+        "doc_id", F.col("cnt").alias("top_bigram_cnt")
+    )
+    rep_ok = F.coalesce(
+        F.col("top_bigram_cnt") * REP_BIGRAM_DEN < F.col("word_count") - 1,
+        F.lit(True),
+    )
+    return (
+        base.join(gq, "doc_id")
+        .join(rep, "doc_id", "left")
+        .filter(rep_ok)
+        .select("doc_id", "quality", "word_count", "top_bigram_cnt")
+    )
+
+
+def _sql_corpus_filter_v2():
+    rep_ok = (
+        f"coalesce(rep.cnt * {REP_BIGRAM_DEN} < gq.word_count - 1, TRUE)"
+    )
+    gates = " AND ".join(f"gq.{g}" for g in GOPHER_STRUCTURAL_GATES)
+    return f"""
+SELECT cf.doc_id, cf.quality, gq.word_count, rep.cnt AS top_bigram_cnt
+FROM ({_sql_corpus_filter()}) cf
+JOIN ({sql_gopher_quality()}) gq ON gq.doc_id = cf.doc_id AND {gates}
+LEFT JOIN ({SQL_REP_TOP_BIGRAM}) rep ON rep.doc_id = cf.doc_id
+WHERE {rep_ok}"""
+
+
 # ---------------------------------------------------------------------------
 # W2/P11: preprocessing-variant try-all-keep-best
 # (issuer_processor_v2.py:296-330, IssuerBatchProcessorV3.py:374-393)
@@ -2228,6 +2297,7 @@ REGISTRY: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter),
+    "corpus_filter_v2": (q_corpus_filter_v2, _sql_corpus_filter_v2),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),

@@ -75,3 +75,44 @@ def test_entry_smoke(spark):
     assert df.count() >= 0
     assert "payee_cleaned" in df.columns
     assert "issuer" in df.columns
+
+
+def test_corpus_filter_v2_rep_gate_bites(spark, tmp_path):
+    """Planted positive for the repetition gate: the synthetic sf corpus
+    never reaches the Gopher-realistic 1/5 top-bigram threshold inside the
+    composed survivor set, so this proves the gate drops a doc that passes
+    every OTHER gate — on Spark and on the DuckDB twin alike."""
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    base_words = (
+        "market price steel copper trade demand supply rose under heavy "
+        "industrial output while regional factories reported strong "
+        "quarterly growth and the broader economy continued that expansion "
+        "with firm credit conditions supporting new capital investment "
+        "plans across the northern manufacturing belt this season overall"
+    ).split()
+    clean = " ".join(base_words + [w + "x" for w in base_words])  # 60+ distinct words
+    spam = " ".join(["the spam"] * 40)   # top bigram covers ~half the slots
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        "text": [clean, spam],
+        "lang": "en",
+        "source": "web",
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    d = tmp_path / "rep_sf"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    out = Q.q_corpus_filter_v2(spark, str(d)).toPandas()
+    kept = set(out["doc_id"])
+    assert 1 in kept, "clean doc should survive the composed gate"
+    assert 2 not in kept, "repetitive doc must be dropped by the rep gate"
+    # ...and only the rep gate: it survives the v1 filter + structural set
+    v1 = set(Q.q_corpus_filter(spark, str(d)).toPandas()["doc_id"])
+    assert 2 in v1
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    oracle = con.execute(Q._sql_corpus_filter_v2()).df()
+    assert set(oracle["doc_id"]) == kept
