@@ -2326,25 +2326,28 @@ REGISTRY: dict[str, tuple] = {
 
 # Queries with no driver-side CORRECTNESS row in recent rounds go FIRST:
 # the driver samples a prefix of the registry, so dict order is the knob
-# that closes the sampling blind spot (VERDICT r02 item 4). Never-checked
-# queries lead, then the ones whose last green row was r01.
+# that closes the sampling blind spot (VERDICT r02 item 4).
 # Registry order = driver sampling order (the driver checks the first 50).
 # Rotated each round so every oracle-backed query gets a green driver row
-# within a trailing two-round window: round 4 leads with the 16 queries the
-# r03 sample missed, then the round-4 additions and the queries whose
-# implementation changed this round (split hash, pack_sequences).
+# within a trailing two-round window: round 5 leads with the round-5
+# additions (never driver-checked), then the two rows-only flagships
+# (last driver rows r02 — VERDICT r04 #4), then everything the r04 sample
+# missed (all r03-green). 29 entries: with 79 registered queries the
+# 50-query sample covers all of these plus 21 r04-greens.
 _CHECK_FIRST = (
-    # r03-unsampled (VERDICT r03 #4)
-    "junk_v3", "variant_keep_best", "clean_text_v3", "remove_prefixes",
-    "media_audio_features", "media_frame_sample", "media_resize",
-    "model_ensemble", "qa_extract", "t5_spell", "zero_shot_classify",
-    "issuer_auth_account_grammar", "issuer_for_grammar", "issuer_simple",
-    "flagship_nofuzzy", "flagship_v3_nofuzzy",
-    # changed or added in round 4
-    "train_val_split", "decontaminate", "pack_sequences",
-    "minhash_near_dup_capped", "minhash_near_dup",
-    "gopher_quality", "asof_join", "rep_top_bigram", "sessionize",
-    "event_rollup",
+    # round-5 additions, never sampled
+    "corpus_filter_v2", "embedding_lsh_near_dup_capped",
+    "ann_lsh_topk_capped", "sessionize_chunked", "asof_join_chunked",
+    # rows-only flagships, last sampled r02 (VERDICT r04 #4)
+    "flagship_extract", "flagship_extract_v3",
+    # r04-unsampled (green r03)
+    "corpus_filter", "ngram_jaccard_pairs", "embedding_near_dup",
+    "embedding_lsh_near_dup", "ann_lsh_topk", "ann_ivf_topk",
+    "media_image_features", "ner_entities", "score_name", "govt_entity",
+    "officer_designation", "filename_fields", "line_confidence",
+    "window_order", "clean_text_v2", "containment_match",
+    "pricing_summary", "revenue_by_nation", "top_customers",
+    "main_content_plain", "fast_pattern_extract", "for_first3",
 )
 
 
