@@ -220,6 +220,26 @@ def oversized_buckets(banded: DataFrame, key_col: str,
     return banded.groupBy(key_col).count().filter(F.col("count") > max_bucket)
 
 
+def minhash_banded(df: DataFrame, id_col: str, text_col: str,
+                   num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                   seed: int = DEFAULT_SEED) -> DataFrame:
+    """(id, sig, band, band_key): the banded MinHash signature relation —
+    the join-ready LSH index. Shared by the one-shot self-join
+    (minhash_lsh_pairs) and the persisted incremental index
+    (persist_minhash_index / incremental_minhash_pairs)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return sigs.select("id", "sig", band_idx).withColumn(
+        "band_key",
+        F.xxhash64(
+            F.col("band"),
+            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+        ),
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, threshold: float = 0.7,
@@ -241,19 +261,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     3.3s -> 8-16s at sf0.1 — reverted. ``max_bucket`` (off by default — the
     contract oracle recomputes the uncapped semantics) bounds hot-bucket
     pair blowup via cap_bucket_size."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
-
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sigs.select("id", "sig", band_idx).withColumn(
-        "band_key",
-        F.xxhash64(
-            F.col("band"),
-            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
-        ),
+    banded = cap_bucket_size(
+        minhash_banded(df, id_col, text_col, num_perm, bands, shingle_k, seed),
+        "band_key", max_bucket,
     )
-    banded = cap_bucket_size(banded, "band_key", max_bucket)
 
     left = banded.select(
         F.col("band_key"),
@@ -269,7 +280,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("id_a", "id_b", "sig_a", "sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
+    return _est_filtered_pairs(cand, threshold)
+
+
+def _est_jaccard() -> Column:
+    """Unbiased Jaccard estimator over the two carried signatures."""
+    return (
         F.size(
             F.filter(
                 F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -278,11 +294,71 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         / F.size(F.col("sig_a"))
     )
+
+
+def _est_filtered_pairs(cand: DataFrame, threshold: float) -> DataFrame:
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.withColumn("est_jaccard", _est_jaccard())
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
+
+
+def persist_minhash_index(df: DataFrame, table: str, id_col: str,
+                          text_col: str, num_perm: int = 64, bands: int = 16,
+                          shingle_k: int = 5, seed: int = DEFAULT_SEED,
+                          n_buckets: int = 64) -> None:
+    """Persist the banded signature relation as a table BUCKETED BY
+    band_key — the layout a 100 TB rolling-ingest dedup actually runs
+    against: the corpus-side shuffle for every future incremental near-dup
+    join is paid ONCE here at write time. Each new-docs batch then joins
+    with zero exchange on the corpus side (only the small new side
+    shuffles to the bucket partitioning); re-banding the whole corpus per
+    batch — the reference's per-batch master re-read pattern
+    (issuer_processor_v.py:244-258) — is amortized into the layout."""
+    from cheque_ocr_project_spark.sources.io import write_bucketed
+
+    banded = minhash_banded(df, id_col, text_col, num_perm, bands,
+                            shingle_k, seed)
+    write_bucketed(banded, table, ["band_key"], n_buckets=n_buckets)
+
+
+def incremental_minhash_candidates(spark, new_docs: DataFrame, table: str,
+                                   id_col: str, text_col: str,
+                                   num_perm: int = 64, bands: int = 16,
+                                   shingle_k: int = 5,
+                                   seed: int = DEFAULT_SEED) -> DataFrame:
+    """(id_a=new, id_b=corpus, sig_a, sig_b) band-mate candidates of a new
+    batch against the persisted index. The corpus scan reads
+    bucket-aligned: the sort-merge join needs NO exchange above it."""
+    corpus = spark.table(table).select(
+        "band_key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    new_banded = minhash_banded(
+        new_docs, id_col, text_col, num_perm, bands, shingle_k, seed
+    ).select(
+        "band_key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    return (
+        new_banded.join(corpus, "band_key")
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+
+
+def incremental_minhash_pairs(spark, new_docs: DataFrame, table: str,
+                              id_col: str, text_col: str,
+                              num_perm: int = 64, bands: int = 16,
+                              shingle_k: int = 5, threshold: float = 0.7,
+                              seed: int = DEFAULT_SEED) -> DataFrame:
+    """Near-dup pairs (new batch x persisted corpus index) — the
+    incremental form of minhash_lsh_pairs for rolling ingest. Same
+    estimator, same threshold semantics; pair identity is (new id,
+    corpus id)."""
+    cand = incremental_minhash_candidates(
+        spark, new_docs, table, id_col, text_col, num_perm, bands,
+        shingle_k, seed,
+    ).select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates(["id_a", "id_b"])
+    return _est_filtered_pairs(cand, threshold)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
