@@ -1689,12 +1689,17 @@ def sessionize_chunked(ev: DataFrame, gap_us: int = SESSION_GAP_US,
     from pyspark.sql import Window
 
     # exact integer division (a double quotient could truncate wrong at
-    # chunk boundaries); epochs are non-negative by the events contract
+    # chunk boundaries); epochs are non-negative by the events contract.
+    # coalesce makes chunk NON-NULLABLE: otherwise the final inner join's
+    # isnotnull(chunk) null-filter re-inlines the computed expression into
+    # only one branch's scan and kills ReuseExchange — the same trap
+    # pack_sequences hit in round 4 (single-scan plan locked in
+    # test_plan_shapes_hold).
     e = ev.select(
         "event_id", "user_id", "ts", _epoch_us(F.col("ts")).alias("__us")
     ).select(
         "event_id", "user_id", "ts",
-        F.expr(f"__us div {chunk_us}").alias("chunk"),
+        F.coalesce(F.expr(f"__us div {chunk_us}"), F.lit(-1)).alias("chunk"),
     )
 
     order = [F.col("ts").asc(), F.col("event_id").asc()]
@@ -1758,54 +1763,66 @@ def asof_join_chunked(ev: DataFrame,
     per-event answer is coalesce(intra carry, previous chunks' carry)."""
     from pyspark.sql import Window
 
+    # Raw event_id (not pre-derived l_id/r_id) travels through the shuffle
+    # so BOTH consumers of the (user, chunk) exchange need the identical
+    # column set — column pruning otherwise specializes the two scans and
+    # kills ReuseExchange (the pack_sequences lesson). Ordering by
+    # event_id is equivalent to the plain form's r_id ordering: among
+    # clicks they coincide, and purchase order within a timestamp never
+    # affects the carried value.
     side = F.when(F.col("event_type") == "click", 0).otherwise(1)
     tagged = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
         .select(
-            "user_id", "ts", side.alias("side"),
+            "event_id", "user_id", "ts", side.alias("side"),
             _epoch_us(F.col("ts")).alias("__us"),
-            F.when(F.col("event_type") == "click", F.col("event_id"))
-            .alias("r_id"),
-            F.when(F.col("event_type") == "purchase", F.col("event_id"))
-            .alias("l_id"),
         )
         .select(
-            "user_id", "ts", "side", "r_id", "l_id",
-            F.expr(f"__us div {chunk_us}").alias("chunk"),
+            "event_id", "user_id", "ts", "side",
+            # non-nullable chunk: see sessionize_chunked (ReuseExchange)
+            F.coalesce(F.expr(f"__us div {chunk_us}"), F.lit(-1)).alias("chunk"),
         )
     )
-    wc = (
+    click = F.when(
+        F.col("side") == 0,
+        F.struct(F.col("ts"), F.col("event_id").alias("r_id")),
+    )
+    base = (
         Window.partitionBy("user_id", "chunk")
-        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("r_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc())
     )
-    intra = tagged.select(
-        "user_id", "ts", "side", "chunk", "l_id",
-        F.last(
-            F.when(F.col("side") == 0, F.struct("ts", "r_id")),
-            ignorenulls=True,
-        ).over(wc).alias("c_intra"),
+    staged = tagged.select(
+        "event_id", "user_id", "ts", "side", "chunk",
+        F.last(click, ignorenulls=True)
+        .over(base.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c_intra"),
+        # constant per (user, chunk): the chunk's final carried click —
+        # computed in the same window stage so the chunk-summary branch
+        # shares this scan+exchange instead of re-aggregating its own
+        F.last(click, ignorenulls=True)
+        .over(base.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+        .alias("c_full"),
     )
 
-    summary = tagged.groupBy("user_id", "chunk").agg(
-        F.max(
-            F.when(F.col("side") == 0, F.struct("ts", "r_id"))
-        ).alias("chunk_last"),
-    )
     ws = Window.partitionBy("user_id").orderBy(F.col("chunk").asc())
-    summary = summary.select(
-        "user_id", "chunk",
-        F.last("chunk_last", ignorenulls=True).over(
-            ws.rowsBetween(Window.unboundedPreceding, -1)
-        ).alias("c_prev"),
+    summary = (
+        staged.select("user_id", "chunk", F.col("c_full").alias("chunk_last"))
+        .distinct()
+        .select(
+            "user_id", "chunk",
+            F.last("chunk_last", ignorenulls=True).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ).alias("c_prev"),
+        )
     )
 
-    joined = intra.join(summary, ["user_id", "chunk"])
+    joined = staged.join(summary, ["user_id", "chunk"])
     c = F.coalesce(F.col("c_intra"), F.col("c_prev"))
     return (
         joined.filter(F.col("side") == 1)
         .select(
-            F.col("l_id").alias("event_id"), "user_id", "ts",
+            "event_id", "user_id", "ts",
             c.getField("r_id").alias("click_id"),
             c.getField("ts").alias("click_ts"),
             F.timestamp_diff("MICROSECOND", c.getField("ts"), F.col("ts"))

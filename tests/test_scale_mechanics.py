@@ -122,6 +122,27 @@ def test_plan_shapes_hold(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "ReusedExchange" in static and static.count("FileScan") == 1
 
+    # chunked sessionize / as-of (VERDICT r04 #3): every row-level window
+    # partitions by (user_id, chunk) — never by user_id alone — and the
+    # two consumers of the (user, chunk) shuffle share ONE scan (the same
+    # non-nullable-join-key + identical-column-set discipline as
+    # pack_sequences; AQE-off makes the ReusedExchange visible statically)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for nm in ("sessionize_chunked", "asof_join_chunked"):
+            static = reg[nm](spark, sf)._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert static.count("FileScan") == 1, nm
+            assert "ReusedExchange" in static, nm
+            row_specs = [
+                s for s in re.findall(r"windowspecdefinition\(([^)]*)\)", static)
+                if "event_id" in s  # row-level windows order by event_id
+            ]
+            assert row_specs and all("chunk" in s for s in row_specs), nm
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
     # Gopher gates: pure per-row array expressions — no shuffle, no UDF,
     # and the scan reads only (doc_id, text)
     found, schemas = ops("gopher_quality")
