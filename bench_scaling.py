@@ -47,10 +47,14 @@ dd = Q.default_drawer_dict()
 # forked + has imported the package before the measured run (steady-state
 # throughput; a cold local[4N] otherwise pays 4N imports inside the measure)
 P.extract_pipeline(spark, t, dd).write.format("noop").mode("overwrite").save()
+import os
+load = round(os.getloadavg()[0], 2)  # 1-min load at measure start: a high
+                                     # reading flags a contaminated leg
 t0 = time.perf_counter()
 P.extract_pipeline(spark, t, dd).write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
-print(json.dumps({"cpus": cpus, "turns": n, "sec": dt, "tps": n / dt}))
+print(json.dumps({"cpus": cpus, "turns": n, "sec": dt, "tps": n / dt,
+                  "load": load}))
 spark.stop()
 """
 
@@ -94,6 +98,8 @@ def main() -> None:
         "sec_4N": round(n4["sec"], 2),
         "efficiency": round(eff, 3),
         "pass": eff >= 0.8,
+        "load_N": n.get("load"),
+        "load_4N": n4.get("load"),
     }
     print(json.dumps(summary))
 
@@ -116,6 +122,10 @@ def main() -> None:
             f"| {args.n} | {n['turns']} | {summary['sec_N']} | {summary['sec_4N']} "
             f"| {summary['tps_N']} | {summary['tps_4N']} | {summary['efficiency']} "
             f"| {'✅' if summary['pass'] else '❌'} |\n"
+        )
+        f.write(
+            f"  (1-min load at measure start — N leg: {summary['load_N']}, "
+            f"4N leg: {summary['load_4N']})\n"
         )
     print(f"appended to {md}")
 

@@ -116,3 +116,20 @@ def test_corpus_filter_v2_rep_gate_bites(spark, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
     oracle = con.execute(Q._sql_corpus_filter_v2()).df()
     assert set(oracle["doc_id"]) == kept
+
+
+def test_entry_pins_utc_on_non_utc_driver(spark, duck):
+    """ADVICE r04: a non-UTC driver session must not diverge from the
+    naive-timestamp oracle — every contract callable pins the session
+    timezone before building its plan."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        sdf = entrymod.queries()["event_rollup"](spark, SF_DIR).toPandas()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        ddf = duck.execute(entrymod.oracle_sql()["event_rollup"]).df()
+        a, b = _canon(sdf), _canon(ddf)
+        assert len(a) == len(b)
+        assert list(a["hr"].astype(str)) == list(b["hr"].astype(str))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
