@@ -398,6 +398,87 @@ SELECT doc_id,
 FROM documents"""
 
 
+# PII redaction (training-data hygiene pass): structural patterns only —
+# emails and long number-like runs (phones / account ids). Explicit char
+# classes, no shorthand escapes, no lookaround/backrefs: the exact same
+# pattern is valid and identically-greedy in Java regex and RE2, so both
+# engines redact the same spans. Order matters: emails first (their
+# digits must not be half-eaten by the number pass).
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_NUMBER_RX = r"\+?[0-9][0-9()./ -]{7,}[0-9]"
+
+
+def _docs_with_pii(spark, sf_dir) -> DataFrame:
+    """The synthetic corpus contains no PII, so (same pattern as
+    _docs_with_near_dups) a deterministic planted transform makes the
+    redaction BIND: every 5th doc gains an email, every 7th a phone-like
+    run — both engines compute the identical appended strings. Only
+    modulo + string-cast on doc_id: safe across the full int64 fuzz
+    range."""
+    id_s = F.col("doc_id").cast("string")
+    email = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(" contact user"), id_s, F.lit("@mail.example.com")),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" call +1 555 010 "),
+                 (F.col("doc_id") % 10000).cast("string")),
+    ).otherwise("")
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), email, phone).alias("text")
+    )
+
+
+PII_DOCS_CTE = """docs AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call +1 555 010 ' || CAST(doc_id % 10000 AS VARCHAR)
+            ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """Redact emails and phone/id-like number runs; emit match counts and
+    the redacted text. One pruned scan, zero shuffles, pure JVM regex —
+    the shape a 100 TB pre-training hygiene pass needs."""
+    t = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RX), F.lit(0)))
+    after_email = F.regexp_replace(t, PII_EMAIL_RX, "<EMAIL>")
+    n_numbers = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_NUMBER_RX), F.lit(0))
+    )
+    redacted = F.regexp_replace(after_email, PII_NUMBER_RX, "<NUM>")
+    return _docs_with_pii(spark, sf_dir).select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+        F.substring(redacted, 1, 300).alias("redacted"),
+    )
+
+
+def sql_pii_redact():
+    email = D.rx(PII_EMAIL_RX)
+    num = D.rx(PII_NUMBER_RX)
+    return f"""
+WITH {PII_DOCS_CTE},
+a AS (
+  SELECT doc_id, text,
+         regexp_replace(text, {email}, '<EMAIL>', 'g') AS after_email
+  FROM docs
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, {email})) AS n_emails,
+  len(regexp_extract_all(after_email, {num})) AS n_numbers,
+  regexp_replace(after_email, {num}, '<NUM>', 'g')[1:300] AS redacted
+FROM a"""
+
+
 def q_lang_id(spark, sf_dir):
     tokens = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
     stop_hits = F.size(F.filter(tokens, lambda w: w.isin(*_STOPWORDS)))
@@ -1497,6 +1578,66 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY cnt DESC, gram ASC) = 1"""
 
 
+def _docs_with_dup_lines(spark, sf_dir) -> DataFrame:
+    """Planted line structure (the synthetic docs are single-line): every
+    11th doc gains three identical boilerplate footer lines (dup fraction
+    0.5 → gate trips), every 4th a distinct section line (multi-line but
+    clean). Deterministic and identical across engines; modulo-only id
+    arithmetic (int64-fuzz-safe)."""
+    footer = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("\nboilerplate footer\nboilerplate footer\nboilerplate footer"),
+    ).otherwise("")
+    section = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("\nsection "), (F.col("doc_id") % 100).cast("string")),
+    ).otherwise("")
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), section, footer).alias("text")
+    )
+
+
+def q_rep_dup_lines(spark, sf_dir):
+    """Gopher duplicate-line repetition rule: excess duplicate lines per
+    document (n_lines - n_distinct_lines) and the keep gate
+    ``excess * 10 < n_lines * 3`` (the 0.3 duplicate-line-fraction
+    threshold in exact integer form — no float ratio crosses the engine
+    boundary). Pure per-row array expressions: one pruned scan, zero
+    shuffles — unlike rep_top_bigram this needs no explode/agg because
+    the dedup is within one row's array."""
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    excess = n_lines - F.size(F.array_distinct(lines))
+    return _docs_with_dup_lines(spark, sf_dir).select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        excess.alias("n_dup_excess"),
+        (excess * 10 < n_lines * 3).alias("keep"),
+    )
+
+
+SQL_REP_DUP_LINES = """
+WITH docs AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 4 = 0
+            THEN chr(10) || 'section ' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN repeat(chr(10) || 'boilerplate footer', 3)
+            ELSE '' END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM docs
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(lines) - len(list_distinct(lines)) AS n_dup_excess,
+       (len(lines) - len(list_distinct(lines))) * 10 < len(lines) * 3 AS keep
+FROM l"""
+
+
 # ---------------------------------------------------------------------------
 # As-of join — the classic temporal operator Spark lacks natively. For each
 # 'purchase' event: the most recent 'click' at-or-before it for the same
@@ -2306,6 +2447,8 @@ REGISTRY: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "gopher_quality": (q_gopher_quality, sql_gopher_quality),
     "rep_top_bigram": (q_rep_top_bigram, SQL_REP_TOP_BIGRAM),
+    "rep_dup_lines": (q_rep_dup_lines, SQL_REP_DUP_LINES),
+    "pii_redact": (q_pii_redact, sql_pii_redact),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -2355,6 +2498,7 @@ _CHECK_FIRST = (
     # round-5 additions, never sampled
     "corpus_filter_v2", "embedding_lsh_near_dup_capped",
     "ann_lsh_topk_capped", "sessionize_chunked", "asof_join_chunked",
+    "pii_redact", "rep_dup_lines",
     # rows-only flagships, last sampled r02 (VERDICT r04 #4)
     "flagship_extract", "flagship_extract_v3",
     # r04-unsampled (green r03)
