@@ -129,25 +129,36 @@ def main() -> None:
     # steal spike is then mechanically attributable (high load -> discard
     # the reading when comparing rounds). VERDICT r03 #8.
     pass_loads: dict[str, list[float]] = {}
+
+    def run_record(rec: str) -> None:
+        if rec.startswith("flagship_"):
+            df = P.extract_pipeline(
+                spark, transcripts, dd, engine=rec.removeprefix("flagship_")
+            )
+        else:
+            df = registry[rec](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+
+    def one_pass(rec: str) -> float:
+        """THE single measured-pass implementation (load sample, timer,
+        noop sink). Every pass — engine shootout, headline, breadth
+        sweep, load-aware retime — goes through here, so the protocol
+        cannot drift between copies."""
+        pass_loads.setdefault(rec, []).append(round(os.getloadavg()[0], 2))
+        t0 = time.perf_counter()
+        run_record(rec)
+        sec = round(time.perf_counter() - t0, 3)
+        headline_passes.setdefault(rec, []).append(sec)
+        return sec
+
     engine_secs: dict[str, float] = {}
     for eng in ("vectorized", "arrow", "hybrid"):
-        P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        vals = []
-        loads = []
+        run_record(f"flagship_{eng}")       # warmup pass, untimed
         # hybrid is the slowest and most noise-sensitive engine (many
         # stages); 2 passes bound total bench wall without losing the signal
         for _ in range(2 if eng == "hybrid" else 3):
-            loads.append(round(os.getloadavg()[0], 2))
-            t0 = time.perf_counter()
-            P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            vals.append(round(time.perf_counter() - t0, 3))
-        engine_secs[eng] = min(vals)
-        headline_passes[f"flagship_{eng}"] = vals
-        pass_loads[f"flagship_{eng}"] = loads
+            one_pass(f"flagship_{eng}")
+        engine_secs[eng] = min(headline_passes[f"flagship_{eng}"])
     flagship_sec = engine_secs["arrow"]
     timings["flagship_extract"] = round(flagship_sec, 3)
     turns_per_sec = n_turns / flagship_sec if flagship_sec else 0.0
@@ -164,26 +175,18 @@ def main() -> None:
         except Exception:
             pass
 
-    def timed(fn, passes: int = 2, record: str | None = None) -> float:
+    def timed(name: str, passes: int = 2) -> float:
         """min of K passes: the shared sandbox shows intermittent multi-
         second CPU-steal spikes (10-30s) that land on random queries; a
         spike must hit the same query K times to survive min-of-K. All
-        passes are recorded for the headline set so a noise-contaminated
-        reading is visible as such instead of looking like a regression."""
-        vals = []
-        loads = []
+        passes are recorded so a noise-contaminated reading is visible as
+        such instead of looking like a regression."""
         for _ in range(passes):
-            loads.append(round(os.getloadavg()[0], 2))
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            vals.append(round(time.perf_counter() - t0, 3))
-        if record is not None:
-            headline_passes[record] = vals
-            pass_loads[record] = loads
-        return round(min(vals), 3)
+            one_pass(name)
+        return round(min(headline_passes[name]), 3)
 
     for name in HEADLINE:
-        timings[name] = timed(registry[name], passes=3, record=name)
+        timings[name] = timed(name, passes=3)
 
     # Load-aware re-timing (VERDICT r04 #1): two consecutive rounds the
     # archived minima came from contaminated passes and read as phantom
@@ -195,20 +198,6 @@ def main() -> None:
     def min_pass_load(rec: str) -> float:
         vals, loads = headline_passes[rec], pass_loads[rec]
         return loads[min(range(len(vals)), key=lambda j: vals[j])]
-
-    def one_pass(rec: str) -> None:
-        pass_loads[rec].append(round(os.getloadavg()[0], 2))
-        t0 = time.perf_counter()
-        if rec.startswith("flagship_"):
-            eng = rec.removeprefix("flagship_")
-            P.extract_pipeline(spark, transcripts, dd, engine=eng).write.format(
-                "noop"
-            ).mode("overwrite").save()
-        else:
-            registry[rec](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        headline_passes[rec].append(round(time.perf_counter() - t0, 3))
 
     retime_budget = RETIME_BUDGET
     retime_order = [f"flagship_{e}" for e in engine_secs] + list(HEADLINE)
@@ -245,7 +234,7 @@ def main() -> None:
             continue
         try:
             # single pass: breadth visibility, bounded total bench time
-            all_timings[name] = timed(fn, passes=1)
+            all_timings[name] = timed(name, passes=1)
         except Exception as exc:
             all_timings[name] = -1.0
             print(f"# bench sweep error {name}: {exc}", file=sys.stderr)

@@ -406,6 +406,13 @@ FROM documents"""
 # digits must not be half-eaten by the number pass).
 PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 PII_NUMBER_RX = r"\+?[0-9][0-9()./ -]{7,}[0-9]"
+# NULL-text note (applies to every size(...)/len(...) twin pair in this
+# module): Spark's size() returns NULL for NULL input on this build
+# (legacy sizeOfNull semantics are off in the resolved plan — verified
+# empirically), matching DuckDB's len(NULL) = NULL, and the planted
+# concat transforms propagate NULL identically through both engines'
+# null-propagating concatenation. The documents contract keeps text
+# non-null regardless.
 
 
 def _docs_with_pii(spark, sf_dir) -> DataFrame:
@@ -2492,8 +2499,9 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window: round 5 leads with the round-5
 # additions (never driver-checked), then the two rows-only flagships
 # (last driver rows r02 — VERDICT r04 #4), then everything the r04 sample
-# missed (all r03-green). 29 entries: with 79 registered queries the
-# 50-query sample covers all of these plus 21 r04-greens.
+# missed (all r03-green). 31 entries: with 81 registered queries the
+# 50-query sample covers all of these plus 19 r04-greens; the remaining
+# 31 r04-greens stay inside the trailing two-round window.
 _CHECK_FIRST = (
     # round-5 additions, never sampled
     "corpus_filter_v2", "embedding_lsh_near_dup_capped",

@@ -130,6 +130,18 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
     # bucket is a single file (multi-file buckets force a per-join Sort).
     # repartition uses the same Murmur3+pmod assignment as the bucket
     # spec, so each write task holds exactly one bucket's rows.
+    if mode == "append":
+        # Appending writes a SECOND file per bucket by construction,
+        # destroying the one-file invariant the sort-elision flag depends
+        # on — reject up front instead of committing data and failing the
+        # post-write check. Rolling ingest keeps new batches in their own
+        # relation and JOINS against the bucketed table
+        # (dedup.incremental_minhash_pairs), it does not append to it.
+        raise ValueError(
+            "write_bucketed cannot append: a second file per bucket would "
+            "break the one-file-per-bucket layout (SPARK-28632); write a "
+            "new table or overwrite"
+        )
     df = df.repartition(n_buckets, *[F.col(k) for k in keys])
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
     if sort:
@@ -143,20 +155,36 @@ def _assert_one_file_per_bucket(spark: SparkSession, table: str) -> None:
     outputOrdering flag depends on: a caller session with
     ``spark.sql.files.maxRecordsPerFile`` set would silently split a
     bucket across files, making sort-elision unsafe (SPARK-28632). Spark
-    bucketed data files carry the bucket id as the ``_NNNNN`` suffix."""
+    bucketed data files carry the bucket id as the ``_NNNNN`` suffix.
+    Files are listed through the Hadoop FileSystem API, so the check holds
+    for any table location scheme (file://, hdfs://, s3a://), not just a
+    local path."""
     import re as _re
-    from pathlib import Path
 
     loc_row = (
         spark.sql(f"DESCRIBE FORMATTED {table}")
         .filter(F.col("col_name") == "Location").collect()
     )
-    loc = loc_row[0]["data_type"].removeprefix("file:")
+    if not loc_row:
+        raise AssertionError(
+            f"cannot verify bucket layout of {table}: DESCRIBE FORMATTED "
+            "reports no Location"
+        )
+    loc = loc_row[0]["data_type"]
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     counts: dict[str, int] = {}
-    for p in Path(loc).glob("part-*"):
-        m = _re.search(r"_(\d{5})\.", p.name)
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        m = _re.search(r"_(\d{5})\.", name)
         if m:
             counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    if not counts:
+        raise AssertionError(
+            f"cannot verify bucket layout of {table}: no bucketed data "
+            f"files found under {loc}"
+        )
     multi = {b: n for b, n in counts.items() if n > 1}
     if multi:
         raise AssertionError(

@@ -429,3 +429,17 @@ def test_incremental_minhash_index_colocates_and_matches(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_minhash_idx")
+
+
+def test_write_bucketed_rejects_append(spark):
+    """Appending would create a second file per bucket — the writer must
+    refuse up front (before committing data) rather than fail the
+    post-write invariant check with a misleading message."""
+    import pytest
+
+    from cheque_ocr_project_spark.sources.io import write_bucketed
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="cannot append"):
+        write_bucketed(df, "t_never_written", ["k"], n_buckets=2,
+                       mode="append")
