@@ -486,6 +486,70 @@ SELECT doc_id,
 FROM a"""
 
 
+TFIDF_TOPK = 3
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-k distinctive terms by term-frequency /
+    document-frequency ratio (scaled to exact integer micros) — the
+    keyword-extraction shape: explode -> map-side-combined (doc, term)
+    count -> vocabulary document-frequency agg -> term join -> per-doc
+    top-k window on the high-cardinality doc key.
+
+    Dialect note (why tf/df rather than the ln-based idf): IEEE divide
+    and floor are correctly-rounded hardware ops, bit-identical across
+    engines, while libm ln() may differ in the last ulp — and with ~1e5
+    (doc, term) pairs a last-ulp disagreement lands on a round()
+    boundary often enough to flip a driver hash. Integer micros keep the
+    compare exact. The term join shuffles on term (no broadcast
+    assumption: a 100 TB crawl vocabulary is not broadcast-size; AQE
+    will broadcast when it is)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = d.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_micro",
+        F.floor(F.col("tf") * 1000000.0 / F.col("df")).cast("long"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rn")
+    )
+
+
+def sql_tfidf_topk():
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score_micro, rn
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         CAST(floor(tf.tf * 1000000.0 / d.df) AS BIGINT) AS score_micro,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(floor(tf.tf * 1000000.0 / d.df) AS BIGINT) DESC,
+                    tf.term ASC) AS rn
+  FROM tf JOIN dfreq d USING (term)
+)
+WHERE rn <= {TFIDF_TOPK}"""
+
+
 def q_lang_id(spark, sf_dir):
     tokens = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
     stop_hits = F.size(F.filter(tokens, lambda w: w.isin(*_STOPWORDS)))
@@ -2456,6 +2520,7 @@ REGISTRY: dict[str, tuple] = {
     "rep_top_bigram": (q_rep_top_bigram, SQL_REP_TOP_BIGRAM),
     "rep_dup_lines": (q_rep_dup_lines, SQL_REP_DUP_LINES),
     "pii_redact": (q_pii_redact, sql_pii_redact),
+    "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -2506,7 +2571,7 @@ _CHECK_FIRST = (
     # round-5 additions, never sampled
     "corpus_filter_v2", "embedding_lsh_near_dup_capped",
     "ann_lsh_topk_capped", "sessionize_chunked", "asof_join_chunked",
-    "pii_redact", "rep_dup_lines",
+    "pii_redact", "rep_dup_lines", "tfidf_topk",
     # rows-only flagships, last sampled r02 (VERDICT r04 #4)
     "flagship_extract", "flagship_extract_v3",
     # r04-unsampled (green r03)
