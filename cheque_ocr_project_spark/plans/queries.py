@@ -503,7 +503,17 @@ def q_tfidf_topk(spark, sf_dir):
     boundary often enough to flip a driver hash. Integer micros keep the
     compare exact. The term join shuffles on term (no broadcast
     assumption: a 100 TB crawl vocabulary is not broadcast-size; AQE
-    will broadcast when it is)."""
+    will broadcast when it is).
+
+    Plan note: this is a deliberate TWO-scan shape (audited). The
+    one-scan alternative — df as count() OVER (PARTITION BY term) —
+    puts every (doc, term) row of a hot term ('the') in ONE window
+    task: whale-term skew, the failure shape sessionize_chunked exists
+    to avoid. Both aggs here are map-side combined, so hot terms
+    collapse before their shuffles; two passes over a pruned 2-column
+    scan is the cheaper price. (ReuseExchange cannot merge the
+    branches: column pruning drops tf from the document-frequency agg,
+    so the partial-agg subtrees differ.)"""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.explode(
