@@ -85,3 +85,81 @@ def conversation_progress(stream: DataFrame, idle_timeout_ms: int = 30_000):
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gap-sessionization: the stateful-streaming twin of the batch
+# q_sessionize/q_sessionize_chunked operators. Per-user state is two longs
+# (last event epoch-us, running session count), so the state store scales
+# to 10^9 users; a processing-time timeout expires idle users (a user
+# reappearing after expiry restarts its numbering — the bounded-state
+# trade-off, stated rather than hidden). Requires per-user event-time
+# order across micro-batches (the file-source test feeds time-ordered
+# chunks); within a batch, rows are sorted by (ts, event_id) — the same
+# tie-break the batch operator and its DuckDB oracle use.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts_us", T.LongType()),      # tz-independent event time
+    T.StructField("session_seq", T.LongType()),
+    T.StructField("is_session_start", T.BooleanType()),
+])
+
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("last_us", T.LongType()),
+    T.StructField("seq", T.LongType()),
+])
+
+
+def _make_session_update(gap_us: int, idle_timeout_ms: int):
+    def _update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()       # bounded state: idle user evicted
+            return
+        last_us, seq = state.get if state.exists else (-1, 0)
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64") // 1000   # ns -> us, naive
+            # nullable Int64 (not float64): epoch-us values sit near the
+            # float53 precision edge, integers never lose a microsecond
+            prev = us.astype("Int64").shift(1)
+            prev.iloc[0] = last_us if last_us >= 0 else pd.NA
+            new_sess = (prev.isna() | ((us - prev) > gap_us)).fillna(False)
+            seqs = (seq + new_sess.astype("int64").cumsum()).astype("int64")
+            yield pd.DataFrame({
+                "event_id": pdf["event_id"].astype("int64"),
+                "user_id": user_id,
+                "ts_us": us.astype("int64"),
+                "session_seq": seqs,
+                "is_session_start": new_sess.astype(bool),
+            })
+            last_us, seq = int(us.iloc[-1]), int(seqs.iloc[-1])
+        state.update((last_us, seq))
+        state.setTimeoutDuration(idle_timeout_ms)
+
+    return _update
+
+
+def streaming_sessionize(stream: DataFrame, gap_us: int = SESSION_GAP_US,
+                         idle_timeout_ms: int = 600_000) -> DataFrame:
+    """event stream → per-event session assignment (append mode).
+    Bit-equal to the batch q_sessionize on in-order input — proven in
+    tests/test_stateful_streaming.py against the batch operator (itself
+    DuckDB-oracle-backed in the driver contract)."""
+    return (
+        stream.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_update(gap_us, idle_timeout_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

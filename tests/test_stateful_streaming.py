@@ -49,3 +49,65 @@ def test_conversation_progress_accumulates(spark, fixture_data, tmp_path):
     assert open_rows == set(convs)
     # marker counting is plausible (some cheque-like turns carry PAY/ORDER OF)
     assert sum(r.payee_marker_turns for r in latest.values()) > 0
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState gap-sessionizer must assign the exact
+    session numbering the batch operator (driver-oracle-backed
+    q_sessionize) produces, across multiple micro-batches with session
+    gaps straddling batch boundaries."""
+    import pandas as pd
+
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    # three time-ordered chunks -> in-order arrival per user across
+    # micro-batches (maxFilesPerTrigger=1 forces one batch per file)
+    pdf = ev.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    input_dir = tmp_path / "ev_in"
+    input_dir.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
+                       input_dir / f"{i:03d}.parquet",
+                       coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(input_dir))
+    )
+    out = SS.streaming_sessionize(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions_t")
+        .option("checkpointLocation", str(tmp_path / "cp_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.sql("SELECT * FROM stream_sessions_t").toPandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    exp = Q.q_sessionize(spark, sf).toPandas()
+    exp["ts_us"] = exp["ts"].astype("int64") // 1000
+    exp = exp.drop(columns=["ts"]).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for c in ("event_id", "user_id", "ts_us", "session_seq"):
+        assert (got[c].astype("int64") == exp[c].astype("int64")).all(), c
+    assert (got["is_session_start"] == exp["is_session_start"]).all()
+    # the fixture genuinely exercises the gap rule: in-session
+    # continuations exist (54 at sf0.001), so the equality above proves
+    # both the carried last-timestamp and the carried session count, not
+    # just trivially-incrementing singleton sessions
+    assert int((~got["is_session_start"]).sum()) > 0
