@@ -486,6 +486,62 @@ SELECT doc_id,
 FROM a"""
 
 
+# (label, numerator, denominator) of the discrete quantile ranks. Rank
+# k = ceil(num*n/den) is computed in EXACT integer arithmetic —
+# (num*n + den-1) div den — because the float route is a dialect trap:
+# DuckDB parses 0.9 as DECIMAL (0.9*100 = 90 exactly) while Spark
+# multiplies doubles (0.9*100 = 90.000000000000014, ceil -> 91).
+QUANTILE_RANKS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def q_doclen_quantiles(spark, sf_dir):
+    """Per-source document-length distribution: exact DISCRETE quantiles
+    (the k-th smallest value, k = ceil(p*n)) via a ranking window — no
+    interpolation, so every output is an integer that exists in the data
+    and the cross-engine compare is exact. One shuffle on source for the
+    window, one for the final agg (same key — no extra exchange)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    r = d.select(
+        "source", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({num} * n + {den - 1}) div {den}"),
+                F.col("n_chars"),
+            )
+        ).alias(label)
+        for label, num, den in QUANTILE_RANKS
+    ]
+    return r.groupBy("source").agg(F.max("n").alias("n_docs"), *picks)
+
+
+def sql_doclen_quantiles():
+    picks = ",\n       ".join(
+        f"CAST(max(CASE WHEN rn = ({num} * n + {den - 1}) // {den} "
+        f"THEN n_chars END) AS BIGINT) AS {label}"
+        for label, num, den in QUANTILE_RANKS
+    )
+    return f"""
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       {picks}
+FROM r GROUP BY source"""
+
+
 TFIDF_TOPK = 3
 
 
@@ -2531,6 +2587,7 @@ REGISTRY: dict[str, tuple] = {
     "rep_dup_lines": (q_rep_dup_lines, SQL_REP_DUP_LINES),
     "pii_redact": (q_pii_redact, sql_pii_redact),
     "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk),
+    "doclen_quantiles": (q_doclen_quantiles, sql_doclen_quantiles),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -2581,7 +2638,7 @@ _CHECK_FIRST = (
     # round-5 additions, never sampled
     "corpus_filter_v2", "embedding_lsh_near_dup_capped",
     "ann_lsh_topk_capped", "sessionize_chunked", "asof_join_chunked",
-    "pii_redact", "rep_dup_lines", "tfidf_topk",
+    "pii_redact", "rep_dup_lines", "tfidf_topk", "doclen_quantiles",
     # rows-only flagships, last sampled r02 (VERDICT r04 #4)
     "flagship_extract", "flagship_extract_v3",
     # r04-unsampled (green r03)
