@@ -2631,9 +2631,9 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window: round 5 leads with the round-5
 # additions (never driver-checked), then the two rows-only flagships
 # (last driver rows r02 — VERDICT r04 #4), then everything the r04 sample
-# missed (all r03-green). 32 entries: with 82 registered queries the
-# 50-query sample covers all of these plus 18 r04-greens; the remaining
-# 32 r04-greens stay inside the trailing two-round window.
+# missed (all r03-green). 33 entries: with 83 registered queries the
+# 50-query sample covers all of these plus 17 r04-greens; the remaining
+# 33 r04-greens stay inside the trailing two-round window.
 _CHECK_FIRST = (
     # round-5 additions, never sampled
     "corpus_filter_v2", "embedding_lsh_near_dup_capped",
