@@ -90,7 +90,8 @@ def conversation_progress(stream: DataFrame, idle_timeout_ms: int = 30_000):
 # ---------------------------------------------------------------------------
 # Streaming gap-sessionization: the stateful-streaming twin of the batch
 # q_sessionize/q_sessionize_chunked operators. Per-user state is two longs
-# (last event epoch-us, running session count), so the state store scales
+# and a validity flag (last event epoch-us, running session count,
+# has_last), so the state store scales
 # to 10^9 users; a processing-time timeout expires idle users (a user
 # reappearing after expiry restarts its numbering — the bounded-state
 # trade-off, stated rather than hidden). Requires per-user event-time
@@ -99,7 +100,15 @@ def conversation_progress(stream: DataFrame, idle_timeout_ms: int = 30_000):
 # tie-break the batch operator and its DuckDB oracle use.
 # ---------------------------------------------------------------------------
 
-SESSION_GAP_US = 30 * 60 * 1_000_000
+def _session_gap_us() -> int:
+    """The ONE gap constant, shared with the batch operators and their
+    DuckDB oracle (plans/queries.SESSION_GAP_US) — a drifted copy here
+    would silently decouple streaming numbering from the oracle-backed
+    batch numbering. Imported lazily to keep this module light."""
+    from cheque_ocr_project_spark.plans.queries import SESSION_GAP_US
+
+    return SESSION_GAP_US
+
 
 SESSION_OUTPUT_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -112,6 +121,10 @@ SESSION_OUTPUT_SCHEMA = T.StructType([
 SESSION_STATE_SCHEMA = T.StructType([
     T.StructField("last_us", T.LongType()),
     T.StructField("seq", T.LongType()),
+    # explicit validity flag (0/1 long — a -1 last_us sentinel would
+    # misread a legitimate pre-1970 negative-epoch last event as "no
+    # state" and break cross-batch continuation)
+    T.StructField("has_last", T.LongType()),
 ])
 
 
@@ -121,7 +134,9 @@ def _make_session_update(gap_us: int, idle_timeout_ms: int):
         if state.hasTimedOut:
             state.remove()       # bounded state: idle user evicted
             return
-        last_us, seq = state.get if state.exists else (-1, 0)
+        last_us, seq, has_last = (
+            state.get if state.exists else (0, 0, 0)
+        )
         frames = [pdf for pdf in pdf_iter if len(pdf)]
         if frames:
             pdf = pd.concat(frames).sort_values(["ts", "event_id"])
@@ -129,7 +144,7 @@ def _make_session_update(gap_us: int, idle_timeout_ms: int):
             # nullable Int64 (not float64): epoch-us values sit near the
             # float53 precision edge, integers never lose a microsecond
             prev = us.astype("Int64").shift(1)
-            prev.iloc[0] = last_us if last_us >= 0 else pd.NA
+            prev.iloc[0] = last_us if has_last else pd.NA
             new_sess = (prev.isna() | ((us - prev) > gap_us)).fillna(False)
             seqs = (seq + new_sess.astype("int64").cumsum()).astype("int64")
             yield pd.DataFrame({
@@ -139,19 +154,35 @@ def _make_session_update(gap_us: int, idle_timeout_ms: int):
                 "session_seq": seqs,
                 "is_session_start": new_sess.astype(bool),
             })
-            last_us, seq = int(us.iloc[-1]), int(seqs.iloc[-1])
-        state.update((last_us, seq))
+            last_us, seq, has_last = int(us.iloc[-1]), int(seqs.iloc[-1]), 1
+        state.update((last_us, seq, has_last))
         state.setTimeoutDuration(idle_timeout_ms)
 
     return _update
 
 
-def streaming_sessionize(stream: DataFrame, gap_us: int = SESSION_GAP_US,
+def streaming_sessionize(stream: DataFrame, gap_us: int | None = None,
                          idle_timeout_ms: int = 600_000) -> DataFrame:
     """event stream → per-event session assignment (append mode).
     Bit-equal to the batch q_sessionize on in-order input — proven in
     tests/test_stateful_streaming.py against the batch operator (itself
-    DuckDB-oracle-backed in the driver contract)."""
+    DuckDB-oracle-backed in the driver contract).
+
+    The ``ts`` column MUST be TIMESTAMP_NTZ (the events contract type):
+    an instant TIMESTAMP would be rendered into pandas through the
+    session timezone, making ts_us zone-dependent and — across a DST
+    transition — assigning different sessions than the batch operator's
+    timestamp_diff. Enforced here rather than assumed."""
+    ts_type = stream.schema["ts"].dataType
+    if not isinstance(ts_type, T.TimestampNTZType):
+        raise TypeError(
+            f"streaming_sessionize requires a TIMESTAMP_NTZ ts column, "
+            f"got {ts_type.simpleString()}: an instant timestamp reaches "
+            "pandas through spark.sql.session.timeZone and would diverge "
+            "from the batch/oracle numbering on non-UTC or DST zones"
+        )
+    if gap_us is None:
+        gap_us = _session_gap_us()
     return (
         stream.select("event_id", "user_id", "ts")
         .groupBy("user_id")

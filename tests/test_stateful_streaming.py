@@ -93,7 +93,23 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # availableNow does NOT self-terminate while applyInPandasWithState
+    # processing-time timers are pending (the idle-timeout keeps scheduling
+    # batches), so poll the sink for completeness and stop explicitly —
+    # an un-asserted awaitTermination would silently compare a partial
+    # sink on a slow box.
+    import time
+
+    n_expected = spark.read.parquet(f"{sf}/events.parquet").count()
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if spark.sql(
+            "SELECT count(*) FROM stream_sessions_t"
+        ).collect()[0][0] >= n_expected:
+            break
+        time.sleep(2)
+    q.stop()
+    q.awaitTermination(60)
 
     got = (
         spark.sql("SELECT * FROM stream_sessions_t").toPandas()
