@@ -416,6 +416,67 @@ def simhash_chunking(max_hamming: int) -> tuple[int, int]:
     return n_chunks, width
 
 
+def simhash_banded(df: DataFrame, id_col: str, text_col: str,
+                   max_hamming: int = 3) -> DataFrame:
+    """(id, simhash, chunk, chunk_key): the chunk-banded SimHash relation
+    — shared by the one-shot self-join (simhash_pairs) and the persisted
+    incremental index (persist_simhash_index)."""
+    n_chunks, width = simhash_chunking(max_hamming)
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunk = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk")
+    return sigs.select("id", "simhash", chunk).withColumn(
+        "chunk_key",
+        F.concat_ws(
+            ":",
+            F.col("chunk"),
+            F.expr(f"shiftrightunsigned(simhash, chunk * {width}) & {mask}"),
+        ),
+    )
+
+
+def persist_simhash_index(df: DataFrame, table: str, id_col: str,
+                          text_col: str, max_hamming: int = 3,
+                          n_buckets: int = 64) -> None:
+    """SimHash twin of persist_minhash_index: the chunk-banded signature
+    relation bucketed by chunk_key, so every future incremental batch
+    joins the corpus with zero corpus-side exchange. The index is bound
+    to its max_hamming (chunk widths derive from it) — probe with the
+    same value."""
+    from cheque_ocr_project_spark.sources.io import write_bucketed
+
+    banded = simhash_banded(df, id_col, text_col, max_hamming)
+    write_bucketed(banded, table, ["chunk_key"], n_buckets=n_buckets)
+
+
+def incremental_simhash_pairs(spark, new_docs: DataFrame, table: str,
+                              id_col: str, text_col: str,
+                              max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs (new batch x persisted SimHash index): id_a = new
+    id, id_b = corpus id, Hamming <= max_hamming."""
+    corpus = spark.table(table).select(
+        "chunk_key", F.col("id").alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    new_banded = simhash_banded(
+        new_docs, id_col, text_col, max_hamming
+    ).select(
+        "chunk_key", F.col("id").alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    cand = (
+        new_banded.join(corpus, "chunk_key")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3,
                   max_bucket: int | None = None) -> DataFrame:
@@ -429,19 +490,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     ``max_bucket`` (off by default) bounds hot-chunk pair blowup via
     cap_bucket_size; the 8-byte signature rides both join sides (unlike
     MinHash there is no wide payload to trim)."""
-    n_chunks, width = simhash_chunking(max_hamming)
-    mask = (1 << width) - 1
-    sigs = simhash_signatures(df, id_col, text_col)
-    chunk = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk")
-    banded = sigs.select("id", "simhash", chunk).withColumn(
-        "chunk_key",
-        F.concat_ws(
-            ":",
-            F.col("chunk"),
-            F.expr(f"shiftrightunsigned(simhash, chunk * {width}) & {mask}"),
-        ),
+    banded = cap_bucket_size(
+        simhash_banded(df, id_col, text_col, max_hamming),
+        "chunk_key", max_bucket,
     )
-    banded = cap_bucket_size(banded, "chunk_key", max_bucket)
     left = banded.select("chunk_key", F.col("id").alias("id_a"),
                          F.col("simhash").alias("sim_a"))
     right = banded.select("chunk_key", F.col("id").alias("id_b"),

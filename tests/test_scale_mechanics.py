@@ -443,3 +443,48 @@ def test_write_bucketed_rejects_append(spark):
     with pytest.raises(ValueError, match="cannot append"):
         write_bucketed(df, "t_never_written", ["k"], n_buckets=2,
                        mode="append")
+
+
+def test_incremental_simhash_index_colocates_and_matches(spark):
+    """SimHash twin of the incremental MinHash index: one exchange (the
+    new side), pairs equal to the full recompute restricted to
+    cross-batch pairs."""
+    import re as _re
+
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while market prices "
+        "for steel and textiles continued to rise across the quarter"
+    )
+    corpus_rows = [(i, f"{base} batch marker {i % 11}") for i in range(300)]
+    new_rows = [(1000 + i, f"{base} batch marker {i % 11}") for i in range(40)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        DD.persist_simhash_index(corpus, "t_simhash_idx", "doc_id", "text",
+                                 n_buckets=8)
+        inc_df = DD.incremental_simhash_pairs(
+            spark, new, "t_simhash_idx", "doc_id", "text", max_hamming=3
+        )
+        plan = inc_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert len(_re.findall(r"\bExchange hashpartitioning", plan)) <= 2, plan
+        # (candidate join: 1 exchange for the new side; dropDuplicates
+        # adds its own post-join exchange on the pair key)
+        inc = {(r.id_a, r.id_b, r.hamming) for r in inc_df.collect()}
+        full = {
+            (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.hamming)
+            for r in DD.simhash_pairs(
+                corpus.unionByName(new), "doc_id", "text", max_hamming=3
+            ).collect()
+            if (r.id_a >= 1000) != (r.id_b >= 1000)
+        }
+        assert inc == full
+        assert inc, "planted near-dups produced no cross-batch pairs"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_simhash_idx")
