@@ -486,6 +486,65 @@ SELECT doc_id,
 FROM a"""
 
 
+# Context-window chunking: token window size / stride (overlap =
+# CHUNK_TOKENS - CHUNK_STRIDE). sf docs run ~40-90 ws-tokens, so the
+# 64/48 split genuinely produces multi-chunk docs at test scale.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a pre-training pipeline. Chunks
+    are token slices re-joined with single spaces (identical in both
+    engines, so the text compare is exact); chunk count is
+    1 + ceil(max(n - C, 0) / stride) in pure integer arithmetic. One
+    pruned scan, a sequence-explode, zero shuffles."""
+    t = F.col("text")
+    tokens = F.regexp_extract_all(t, F.lit(r"[^ \t\n\x0B\f\r]+"), F.lit(0))
+    n = F.size(tokens)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens.alias("toks"), n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return d.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.size(sl).alias("chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+def sql_doc_chunks():
+    toks = r"regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {toks} AS toks, len({toks}) AS n_tokens FROM documents
+),
+e AS (
+  SELECT doc_id, toks, n_tokens,
+         unnest(range(0, 1 + (greatest(n_tokens - {CHUNK_TOKENS}, 0)
+                              + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}))
+           AS chunk_idx
+  FROM d
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(len(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                           chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+            AS INT) AS chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                                  chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                       ' ') AS chunk_text
+FROM e"""
+
+
 # (label, numerator, denominator) of the discrete quantile ranks. Rank
 # k = ceil(num*n/den) is computed in EXACT integer arithmetic —
 # (num*n + den-1) div den — because the float route is a dialect trap:
@@ -2588,6 +2647,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_redact": (q_pii_redact, sql_pii_redact),
     "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk),
     "doclen_quantiles": (q_doclen_quantiles, sql_doclen_quantiles),
+    "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -2631,14 +2691,15 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window: round 5 leads with the round-5
 # additions (never driver-checked), then the two rows-only flagships
 # (last driver rows r02 — VERDICT r04 #4), then everything the r04 sample
-# missed (all r03-green). 33 entries: with 83 registered queries the
-# 50-query sample covers all of these plus 17 r04-greens; the remaining
-# 33 r04-greens stay inside the trailing two-round window.
+# missed (all r03-green). 34 entries: with 84 registered queries the
+# 50-query sample covers all of these plus 16 r04-greens; the remaining
+# 34 r04-greens stay inside the trailing two-round window.
 _CHECK_FIRST = (
     # round-5 additions, never sampled
     "corpus_filter_v2", "embedding_lsh_near_dup_capped",
     "ann_lsh_topk_capped", "sessionize_chunked", "asof_join_chunked",
     "pii_redact", "rep_dup_lines", "tfidf_topk", "doclen_quantiles",
+    "doc_chunks",
     # rows-only flagships, last sampled r02 (VERDICT r04 #4)
     "flagship_extract", "flagship_extract_v3",
     # r04-unsampled (green r03)
