@@ -1923,6 +1923,83 @@ FROM (
 GROUP BY ROLLUP (event_type, hr)"""
 
 
+# Per-stage conversion window: a later stage counts only within 24h of
+# the previous one. At sf0.01 the funnel genuinely narrows:
+# 150 users -> 60 click-within-24h -> 25 purchase-within-24h.
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered three-stage conversion funnel (view -> click-within-24h ->
+    purchase-within-24h): per user, the first view, the first qualifying
+    click at-or-after it, the first qualifying purchase after that;
+    output is the stage-reach counts.
+
+    Deliberately the groupBy formulation, NOT a per-user window: each
+    stage is a map-side-combinable aggregate joined back on user_id, so
+    one bot user with 10^8 events never pins a single task (the whale
+    shape the chunked operators exist to avoid — an unbounded per-user
+    window would reintroduce it). Gap bounds compare exact epoch
+    microseconds; a missing earlier stage nulls every later stage
+    through the null-propagating predicates."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+
+    def within(prev_col):
+        gap = F.timestamp_diff("MICROSECOND", F.col(prev_col), F.col("ts"))
+        return (F.col("ts") >= F.col(prev_col)) & (gap <= FUNNEL_WINDOW_US)
+
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("s1")
+    )
+    c = ev.join(u, "user_id").groupBy("user_id", "s1").agg(
+        F.min(
+            F.when((F.col("event_type") == "click") & within("s1"),
+                   F.col("ts"))
+        ).alias("s2")
+    )
+    p = ev.join(c, "user_id").groupBy("user_id", "s1", "s2").agg(
+        F.min(
+            F.when((F.col("event_type") == "purchase") & within("s2"),
+                   F.col("ts"))
+        ).alias("s3")
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s1").isNotNull().cast("long")).alias("reached_view"),
+        F.sum(F.col("s2").isNotNull().cast("long")).alias("reached_click"),
+        F.sum(F.col("s3").isNotNull().cast("long")).alias("reached_purchase"),
+    )
+
+
+SQL_FUNNEL = f"""
+WITH u AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS s1
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, u.s1,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= u.s1
+                   AND epoch_us(e.ts) - epoch_us(u.s1) <= {FUNNEL_WINDOW_US}
+                  THEN e.ts END) AS s2
+  FROM events e JOIN u USING (user_id) GROUP BY e.user_id, u.s1
+),
+p AS (
+  SELECT e.user_id, c.s1, c.s2,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.s2
+                   AND epoch_us(e.ts) - epoch_us(c.s2) <= {FUNNEL_WINDOW_US}
+                  THEN e.ts END) AS s3
+  FROM events e JOIN c USING (user_id) GROUP BY e.user_id, c.s1, c.s2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_view,
+       CAST(sum(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_click,
+       CAST(sum(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_purchase
+FROM p"""
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
@@ -2652,6 +2729,7 @@ REGISTRY: dict[str, tuple] = {
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_chunked": (q_sessionize_chunked, SQL_SESSIONIZE),
+    "funnel": (q_funnel, SQL_FUNNEL),
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
@@ -2691,15 +2769,15 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window: round 5 leads with the round-5
 # additions (never driver-checked), then the two rows-only flagships
 # (last driver rows r02 — VERDICT r04 #4), then everything the r04 sample
-# missed (all r03-green). 34 entries: with 84 registered queries the
-# 50-query sample covers all of these plus 16 r04-greens; the remaining
-# 34 r04-greens stay inside the trailing two-round window.
+# missed (all r03-green). 35 entries: with 85 registered queries the
+# 50-query sample covers all of these plus 15 r04-greens; the remaining
+# 35 r04-greens stay inside the trailing two-round window.
 _CHECK_FIRST = (
     # round-5 additions, never sampled
     "corpus_filter_v2", "embedding_lsh_near_dup_capped",
     "ann_lsh_topk_capped", "sessionize_chunked", "asof_join_chunked",
     "pii_redact", "rep_dup_lines", "tfidf_topk", "doclen_quantiles",
-    "doc_chunks",
+    "doc_chunks", "funnel",
     # rows-only flagships, last sampled r02 (VERDICT r04 #4)
     "flagship_extract", "flagship_extract_v3",
     # r04-unsampled (green r03)
