@@ -321,6 +321,33 @@ def persist_minhash_index(df: DataFrame, table: str, id_col: str,
     banded = minhash_banded(df, id_col, text_col, num_perm, bands,
                             shingle_k, seed)
     write_bucketed(banded, table, ["band_key"], n_buckets=n_buckets)
+    _set_index_params(banded.sparkSession, table, dict(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed))
+
+
+def _set_index_params(spark, table: str, params: dict) -> None:
+    """Persist the banding parameters AS TABLE PROPERTIES: a probe with
+    different parameters would band into a different key geometry and the
+    join would silently return near-empty results — the mismatch must be
+    loud, not empty."""
+    kv = ", ".join(f"'lsh.{k}'='{v}'" for k, v in params.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
+def _check_index_params(spark, table: str, params: dict) -> None:
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    stored = {r["key"]: r["value"] for r in rows}
+    bad = {
+        k: (stored.get(f"lsh.{k}"), str(v))
+        for k, v in params.items()
+        if stored.get(f"lsh.{k}") not in (None, str(v))
+    }
+    if bad:
+        raise ValueError(
+            f"index {table} was persisted with different LSH parameters "
+            f"than this probe (stored vs probe): {bad} — re-persist the "
+            "index or probe with the stored parameters"
+        )
 
 
 def incremental_minhash_candidates(spark, new_docs: DataFrame, table: str,
@@ -331,6 +358,8 @@ def incremental_minhash_candidates(spark, new_docs: DataFrame, table: str,
     """(id_a=new, id_b=corpus, sig_a, sig_b) band-mate candidates of a new
     batch against the persisted index. The corpus scan reads
     bucket-aligned: the sort-merge join needs NO exchange above it."""
+    _check_index_params(spark, table, dict(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed))
     corpus = spark.table(table).select(
         "band_key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
     )
@@ -447,13 +476,20 @@ def persist_simhash_index(df: DataFrame, table: str, id_col: str,
 
     banded = simhash_banded(df, id_col, text_col, max_hamming)
     write_bucketed(banded, table, ["chunk_key"], n_buckets=n_buckets)
+    _set_index_params(banded.sparkSession, table,
+                      dict(max_hamming=max_hamming))
 
 
 def incremental_simhash_pairs(spark, new_docs: DataFrame, table: str,
                               id_col: str, text_col: str,
                               max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs (new batch x persisted SimHash index): id_a = new
-    id, id_b = corpus id, Hamming <= max_hamming."""
+    id, id_b = corpus id, Hamming <= max_hamming. The probe's
+    max_hamming must equal the persisted index's (chunk widths derive
+    from it) — validated against the stored table properties, because a
+    mismatch would band into a different key geometry and silently
+    return near-empty results."""
+    _check_index_params(spark, table, dict(max_hamming=max_hamming))
     corpus = spark.table(table).select(
         "chunk_key", F.col("id").alias("id_b"),
         F.col("simhash").alias("sim_b"),

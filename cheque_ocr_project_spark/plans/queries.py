@@ -1939,9 +1939,13 @@ def q_funnel(spark, sf_dir):
     stage is a map-side-combinable aggregate joined back on user_id, so
     one bot user with 10^8 events never pins a single task (the whale
     shape the chunked operators exist to avoid — an unbounded per-user
-    window would reintroduce it). Gap bounds compare exact epoch
-    microseconds; a missing earlier stage nulls every later stage
-    through the null-propagating predicates."""
+    window would reintroduce it; locked by the whale test + plan
+    assertion in test_scale_mechanics). Only stage-relevant rows ride
+    the joins: clicks against stage 1, purchases against stage 2 — the
+    view/signup/error majority never shuffles twice. Gap bounds compare
+    exact epoch microseconds; a missing earlier stage nulls every later
+    stage through the null-propagating predicates, and LEFT joins keep
+    users who never reach a stage in the counts."""
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
 
     def within(prev_col):
@@ -1951,18 +1955,21 @@ def q_funnel(spark, sf_dir):
     u = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("s1")
     )
-    c = ev.join(u, "user_id").groupBy("user_id", "s1").agg(
-        F.min(
-            F.when((F.col("event_type") == "click") & within("s1"),
-                   F.col("ts"))
-        ).alias("s2")
+    s2_agg = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u, "user_id")
+        .filter(within("s1"))
+        .groupBy("user_id").agg(F.min("ts").alias("s2"))
     )
-    p = ev.join(c, "user_id").groupBy("user_id", "s1", "s2").agg(
-        F.min(
-            F.when((F.col("event_type") == "purchase") & within("s2"),
-                   F.col("ts"))
-        ).alias("s3")
+    c = u.join(s2_agg, "user_id", "left")
+    s3_agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.filter(F.col("s2").isNotNull()).select("user_id", "s2"),
+              "user_id")
+        .filter(within("s2"))
+        .groupBy("user_id").agg(F.min("ts").alias("s3"))
     )
+    p = c.join(s3_agg, "user_id", "left")
     return p.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.col("s1").isNotNull().cast("long")).alias("reached_view"),

@@ -361,7 +361,16 @@ def test_sessionize_asof_whale_user_skew(spark, tmp_path):
     a2 = pdf(Q.q_asof_join_chunked(spark, str(d)), ["event_id"])
     assert a1.equals(a2)
 
-    # (c) and both match the independent DuckDB oracles on this corpus
+    # (c) the funnel holds the same whale-safety contract: no per-user
+    # Window anywhere in its plan (the groupBy formulation is the design
+    # claim — lock it), and it matches its oracle on the whale corpus
+    fplan = (
+        Q.q_funnel(spark, str(d))._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Window" not in fplan, "funnel reintroduced a per-user window"
+
+    # (d) and all match the independent DuckDB oracles on this corpus
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     o = con.execute(Q.SQL_SESSIONIZE).df()
@@ -370,6 +379,9 @@ def test_sessionize_asof_whale_user_skew(spark, tmp_path):
     oa = con.execute(Q.SQL_ASOF_JOIN).df()
     oa = oa.sort_values(["event_id"]).reset_index(drop=True).astype(str)
     assert a2[sorted(a2.columns)].equals(oa[sorted(oa.columns)])
+    fgot = Q.q_funnel(spark, str(d)).toPandas().astype(str)
+    fexp = con.execute(Q.SQL_FUNNEL).df().astype(str)
+    assert fgot[sorted(fgot.columns)].equals(fexp[sorted(fexp.columns)])
 
 
 def test_incremental_minhash_index_colocates_and_matches(spark):
@@ -485,6 +497,16 @@ def test_incremental_simhash_index_colocates_and_matches(spark):
         }
         assert inc == full
         assert inc, "planted near-dups produced no cross-batch pairs"
+
+        # probing with a different max_hamming would band into a different
+        # key geometry and silently return near-empty results — must be
+        # loud instead (parameters are persisted as table properties)
+        import pytest
+
+        with pytest.raises(ValueError, match="different LSH parameters"):
+            DD.incremental_simhash_pairs(
+                spark, new, "t_simhash_idx", "doc_id", "text", max_hamming=2
+            )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_simhash_idx")
