@@ -601,6 +601,83 @@ SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
 FROM r GROUP BY source"""
 
 
+VOCAB_TOPK = 20   # the synthetic corpus has 31 distinct terms, so the
+                  # limit BINDS (a k above the vocabulary would make the
+                  # top-k a no-op at test scale)
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus-level vocabulary head: the top-k terms by total occurrence
+    count. Scale shape: explode -> map-side-combined global count ->
+    orderBy+limit, which Catalyst plans as a distributed
+    TakeOrderedAndProject (per-partition top-k, tiny driver merge) — the
+    corpus never funnels through one sort task. Tie-break (count desc,
+    term asc) matches the oracle exactly."""
+    d = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term")
+    )
+    return (
+        d.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(VOCAB_TOPK)
+    )
+
+
+def sql_vocab_topk():
+    return f"""
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+)
+GROUP BY term ORDER BY n DESC, term ASC LIMIT {VOCAB_TOPK}"""
+
+
+def q_source_token_budget(spark, sf_dir):
+    """Training-mix accounting: per-source whitespace-token totals and
+    the corpus share in integer parts-per-million. Overflow note: the
+    naive ``tokens * 1e6 div total`` wraps int64 once the corpus passes
+    ~9.2e12 tokens (a 100 TB corpus does), so the share divides by the
+    pre-scaled total instead — ``tokens div (total div 1e6)`` — exact
+    same integers in both engines, no 64-bit product, ppm error <= 1
+    for any corpus over a million tokens. One scan, one map-side-
+    combined agg, a broadcast of the single-row total."""
+    toks = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0B\f\r]+"), F.lit(0))
+    )
+    per_src = (
+        _docs(spark, sf_dir).select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("tokens"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = per_src.agg(F.sum("tokens").alias("corpus_tokens"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "tokens",
+            F.expr(
+                "tokens div greatest(corpus_tokens div 1000000, 1)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+def sql_source_token_budget():
+    toks = r"len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+'))"
+    return f"""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({toks}) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, tokens,
+       CAST(tokens // greatest((SELECT sum(tokens) FROM s) // 1000000, 1)
+            AS BIGINT) AS share_ppm
+FROM s"""
+
+
 TFIDF_TOPK = 3
 
 
@@ -2732,6 +2809,8 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk),
     "doclen_quantiles": (q_doclen_quantiles, sql_doclen_quantiles),
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
+    "vocab_topk": (q_vocab_topk, sql_vocab_topk),
+    "source_token_budget": (q_source_token_budget, sql_source_token_budget),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -2776,15 +2855,15 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window: round 5 leads with the round-5
 # additions (never driver-checked), then the two rows-only flagships
 # (last driver rows r02 — VERDICT r04 #4), then everything the r04 sample
-# missed (all r03-green). 35 entries: with 85 registered queries the
-# 50-query sample covers all of these plus 15 r04-greens; the remaining
-# 35 r04-greens stay inside the trailing two-round window.
+# missed (all r03-green). 37 entries: with 87 registered queries the
+# 50-query sample covers all of these plus 13 r04-greens; the remaining
+# 37 r04-greens stay inside the trailing two-round window.
 _CHECK_FIRST = (
     # round-5 additions, never sampled
     "corpus_filter_v2", "embedding_lsh_near_dup_capped",
     "ann_lsh_topk_capped", "sessionize_chunked", "asof_join_chunked",
     "pii_redact", "rep_dup_lines", "tfidf_topk", "doclen_quantiles",
-    "doc_chunks", "funnel",
+    "doc_chunks", "funnel", "vocab_topk", "source_token_budget",
     # rows-only flagships, last sampled r02 (VERDICT r04 #4)
     "flagship_extract", "flagship_extract_v3",
     # r04-unsampled (green r03)
