@@ -130,8 +130,15 @@ def main() -> None:
     # the reading when comparing rounds). VERDICT r03 #8.
     pass_loads: dict[str, list[float]] = {}
 
+    # ONLY the engine-shootout records route to extract_pipeline over the
+    # replicated transcripts; registry names that happen to share the
+    # "flagship_" prefix (flagship_nofuzzy, flagship_extract_v3, ...) are
+    # ordinary contract queries and must time registry[rec] (ADVICE r05:
+    # a bare prefix test silently timed the wrong computation for them).
+    ENGINE_RECORDS = {"flagship_vectorized", "flagship_arrow", "flagship_hybrid"}
+
     def run_record(rec: str) -> None:
-        if rec.startswith("flagship_"):
+        if rec in ENGINE_RECORDS:
             df = P.extract_pipeline(
                 spark, transcripts, dd, engine=rec.removeprefix("flagship_")
             )

@@ -335,12 +335,27 @@ def _set_index_params(spark, table: str, params: dict) -> None:
 
 
 def _check_index_params(spark, table: str, params: dict) -> None:
+    """Every expected ``lsh.*`` property must be PRESENT and EQUAL. A
+    missing property is as loud as a mismatched one (ADVICE r05): a table
+    that never had its parameters stamped — ALTER TABLE failed, or it was
+    written via write_bucketed directly — gives no evidence its geometry
+    matches the probe, and a silent pass there is exactly the
+    silently-near-empty join the stamp exists to prevent."""
     rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
     stored = {r["key"]: r["value"] for r in rows}
+    missing = [k for k in params if f"lsh.{k}" not in stored]
+    if missing:
+        raise ValueError(
+            f"index {table} has no stored 'lsh.*' parameters for "
+            f"{missing} — the table was never stamped by "
+            "persist_minhash_index/_set_index_params, so its banding "
+            "geometry cannot be verified; re-persist the index through "
+            "persist_*_index"
+        )
     bad = {
-        k: (stored.get(f"lsh.{k}"), str(v))
+        k: (stored[f"lsh.{k}"], str(v))
         for k, v in params.items()
-        if stored.get(f"lsh.{k}") not in (None, str(v))
+        if stored[f"lsh.{k}"] != str(v)
     }
     if bad:
         raise ValueError(

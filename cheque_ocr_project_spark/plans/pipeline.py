@@ -841,6 +841,11 @@ def extract_pipeline(spark: SparkSession, transcripts: DataFrame,
         )
     if engine == "hybrid":
         return _extract_hybrid(spark, transcripts, drawer_dict, threshold)
+    if engine != "native":
+        raise ValueError(
+            f"unknown engine {engine!r}: expected one of "
+            "'arrow', 'vectorized', 'hybrid', 'native'"
+        )
     turns = turn_level(with_main_content(transcripts))
     issuer = issuer_stage(spark, turns, drawer_dict, threshold)
     out = turns.join(issuer, KEYS, "left")

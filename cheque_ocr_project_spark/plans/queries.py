@@ -639,11 +639,14 @@ def q_source_token_budget(spark, sf_dir):
     """Training-mix accounting: per-source whitespace-token totals and
     the corpus share in integer parts-per-million. Overflow note: the
     naive ``tokens * 1e6 div total`` wraps int64 once the corpus passes
-    ~9.2e12 tokens (a 100 TB corpus does), so the share divides by the
-    pre-scaled total instead — ``tokens div (total div 1e6)`` — exact
-    same integers in both engines, no 64-bit product, ppm error <= 1
-    for any corpus over a million tokens. One scan, one map-side-
-    combined agg, a broadcast of the single-row total."""
+    ~9.2e12 tokens (a 100 TB corpus does), so the product is taken in
+    wide integer arithmetic instead — DECIMAL(38,0) on the Spark side,
+    HUGEINT in the oracle — giving the EXACT ``floor(tokens*1e6/total)``
+    at any corpus size (ppm error < 1 by construction; the previous
+    pre-scaled-divisor form had relative error up to ~1/(total div 1e6)
+    and degenerated to raw token counts below 1e6 total — ADVICE r05).
+    One scan, one map-side-combined agg, a broadcast of the single-row
+    total."""
     toks = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0B\f\r]+"), F.lit(0))
     )
@@ -658,7 +661,8 @@ def q_source_token_budget(spark, sf_dir):
         .select(
             "source", "n_docs", "tokens",
             F.expr(
-                "tokens div greatest(corpus_tokens div 1000000, 1)"
+                "CAST((CAST(tokens AS DECIMAL(38,0)) * 1000000)"
+                " div greatest(corpus_tokens, 1) AS BIGINT)"
             ).alias("share_ppm"),
         )
     )
@@ -673,7 +677,8 @@ WITH s AS (
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, tokens,
-       CAST(tokens // greatest((SELECT sum(tokens) FROM s) // 1000000, 1)
+       CAST(CAST(tokens AS HUGEINT) * 1000000
+            // greatest((SELECT sum(tokens) FROM s), 1)
             AS BIGINT) AS share_ppm
 FROM s"""
 

@@ -443,6 +443,34 @@ def test_incremental_minhash_index_colocates_and_matches(spark):
         spark.sql("DROP TABLE IF EXISTS t_minhash_idx")
 
 
+def test_unstamped_index_probe_is_loud(spark):
+    """A bucketed table that was never stamped with 'lsh.*' properties
+    (written via write_bucketed directly, or the ALTER TABLE failed) gives
+    no evidence its banding geometry matches the probe — the guard must
+    raise, not silently treat absence as a match (ADVICE r05)."""
+    import pytest
+
+    from cheque_ocr_project_spark.operators import dedup as DD
+    from cheque_ocr_project_spark.sources.io import write_bucketed
+
+    corpus = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(100, "document body number 3")],
+                                "doc_id long, text string")
+    try:
+        banded = DD.minhash_banded(corpus, "doc_id", "text", 64, 16, 5,
+                                   DD.DEFAULT_SEED)
+        write_bucketed(banded, "t_unstamped_idx", ["band_key"], n_buckets=4)
+        with pytest.raises(ValueError, match="never stamped"):
+            DD.incremental_minhash_pairs(
+                spark, new, "t_unstamped_idx", "doc_id", "text"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_unstamped_idx")
+
+
 def test_write_bucketed_rejects_append(spark):
     """Appending would create a second file per bucket — the writer must
     refuse up front (before committing data) rather than fail the
