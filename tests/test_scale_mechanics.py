@@ -443,6 +443,55 @@ def test_incremental_minhash_index_colocates_and_matches(spark):
         spark.sql("DROP TABLE IF EXISTS t_minhash_idx")
 
 
+def test_doclen_quantiles_whale_source_deskewed(spark):
+    """VERDICT r05 #1: doclen_quantiles must never window over a full
+    source's ROW set — a source holding 99% of the corpus would pin one
+    task. The de-skewed shape reduces to per-(source, n_chars) counts
+    first, so the per-source window sorts DISTINCT LENGTHS. Planted
+    whale: one source with 6000 rows over only 7 distinct lengths."""
+    import math
+    import re
+
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    rows = [("whale", 100 + (i % 7) * 10) for i in range(6000)]
+    rows += [("minnow", 200 + i) for i in range(50)]
+    d = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r.source: r for r in Q.doclen_quantiles_over(d).collect()}
+
+    # exact discrete quantiles, computed independently
+    def expected(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        return {
+            lab: vals[math.ceil(num * n / den) - 1]
+            for lab, num, den in Q.QUANTILE_RANKS
+        }
+
+    for src, vals in (("whale", [v for s, v in rows if s == "whale"]),
+                      ("minnow", [v for s, v in rows if s == "minnow"])):
+        exp = expected(vals)
+        assert out[src].n_docs == len(vals)
+        for lab, want in exp.items():
+            assert out[src][lab] == want, (src, lab, out[src][lab], want)
+
+    # plan lock (test_plan_shapes_hold style): no row-level ranking
+    # window; both windows consume the (source, n_chars) aggregate —
+    # the partial/final count on the composite key sits BELOW the last
+    # Window in the tree (children print after parents).
+    plan = Q.queries()["doclen_quantiles"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan
+    last_window = plan.rindex("Window")
+    grouped = re.search(r"HashAggregate\(keys=\[source#\d+L?, n_chars", plan)
+    assert grouped and grouped.start() > last_window, plan
+    assert plan.count("FileScan") == 1
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2, plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("text" not in s for s in schemas)
+
+
 def test_unstamped_index_probe_is_loud(spark):
     """A bucketed table that was never stamped with 'lsh.*' properties
     (written via write_bucketed directly, or the ALTER TABLE failed) gives
