@@ -2552,6 +2552,203 @@ LEFT JOIN ({SQL_REP_TOP_BIGRAM}) rep ON rep.doc_id = cf.doc_id
 WHERE {rep_ok}"""
 
 
+def q_corpus_filter_v3(spark, sf_dir):
+    """The STAGED production corpus gate (VERDICT r05 #2, PLANS.md round-5
+    audit): every text-deterministic per-row check — quality, language,
+    the structural Gopher gates, and the top-bigram repetition rule — is
+    evaluated in ONE pass over ONE scan, and only the survivors enter the
+    dedup topology (exact keeper-window, then capped SimHash near-dup
+    shadowing). Semantics deliberately differ from corpus_filter_v2 on
+    shadowed-by-filtered-doc cases: here a doc that fails the cheap gate
+    can no longer shadow a near-duplicate that passes it (v2 computes
+    shadowing over ALL exact-dedup survivors first). Both semantics are
+    legitimate; v3 is what a production deployment runs because the
+    expensive pairwise machinery sees only gate survivors.
+
+    Scale shape: the repetition count is per-row — sort the bigram array
+    and fold the max run length (O(k log k) per doc, no quadratic
+    distinct-scan, no explode/groupBy/join branch), so the whole cheap
+    gate is one whole-stage-codegen pass. Exact dedup is a min-id window
+    over the md5 fingerprint (high-cardinality partition key). Total plan:
+    <= 5 scans (v2's composed form carries 12) — locked by
+    test_corpus_filter_v3_plan_staged."""
+    from pyspark.sql import Window
+
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    t = F.col("text")
+    # quality + language (identical expressions to corpus_filter)
+    alpha_ratio = C.n_alpha(t) / F.length(t)
+    punct_ratio = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / F.length(t)
+    ltokens = F.regexp_extract_all(F.lower(t), F.lit(r"[a-z]+"), F.lit(0))
+    stop_hits = F.size(F.filter(ltokens, lambda w: w.isin(*_STOPWORDS)))
+    stop_ratio = F.when(
+        F.size(ltokens) > 0, stop_hits / F.size(ltokens)
+    ).otherwise(0.0)
+    quality = 0.4 * alpha_ratio + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+
+    # structural Gopher gates (identical expressions to q_gopher_quality;
+    # ok_stopwords stays excluded — see GOPHER_STRUCTURAL_GATES note)
+    words = F.split(F.trim(t), r"\s+")
+    wc = F.size(words)
+    sum_wl = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_wl = sum_wl.cast("double") / wc
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    lines = F.split(t, "\n")
+    nlines = F.size(lines)
+    gopher_ok = (
+        (wc >= 50) & (wc <= 100000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (((n_hash + n_ell) / wc) < 0.1)
+        & ((F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))) / nlines)
+           < 0.9)
+        & ((F.size(F.filter(lines, lambda l: l.endswith(F.lit("..."))))
+            / nlines) < 0.3)
+        & ((F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / wc)
+           > 0.8)
+    )
+
+    # per-row top-bigram count: sorted-run-length fold. Identical value to
+    # q_rep_top_bigram's winner count, without the explode/agg/join branch.
+    bigrams = F.zip_with(
+        F.slice(words, 1, wc - 1), F.slice(words, 2, wc - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"), F.lit(0).alias("best"),
+    )
+
+    def step(acc, g):
+        new_run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"), new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(F.array_sort(bigrams), acc0, step,
+                          lambda acc: acc["best"])
+    rep_ok = F.when(
+        wc >= 2, top_cnt * REP_BIGRAM_DEN < wc - 1
+    ).otherwise(True)
+
+    gated = (
+        _docs(spark, sf_dir)
+        .filter((quality >= 0.5) & (stop_ratio >= 0.05) & gopher_ok & rep_ok)
+        .select(
+            "doc_id", "text",
+            F.round(quality, 6).alias("quality"),
+            wc.alias("word_count"),
+            top_cnt.cast("long").alias("top_bigram_cnt"),
+        )
+    )
+    w = Window.partitionBy(F.md5(DD.normalize_text(F.col("text"))))
+    survivors = (
+        gated.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    pairs = DD.simhash_pairs(
+        survivors.select("doc_id", "text"), "doc_id", "text",
+        max_hamming=3, max_bucket=CORPUS_FILTER_MAX_BUCKET,
+    )
+    shadowed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        survivors.join(shadowed, "doc_id", "left_anti")
+        .select("doc_id", "quality", "word_count", "top_bigram_cnt")
+    )
+
+
+def _corpus_v3_survivor_ctes() -> str:
+    """The staged gate as a DuckDB CTE chain ending in ``docs`` — encodes
+    the v3 semantics (gate BEFORE dedup/shadowing) independently of the
+    Spark plan; spliced into the SimHash pair SQL in place of its docs
+    CTE, and reused for the output side."""
+    from cheque_ocr_project_spark.plans import dedup_sql  # noqa: F401
+
+    stop_list = ", ".join(D.q(wd) for wd in _STOPWORDS)
+    toks = "regexp_extract_all(lower(text), '[a-z]+')"
+    stop_ratio = (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, w -> w IN ({stop_list}))) * 1.0 / len({toks}) "
+        f"ELSE 0.0 END"
+    )
+    alpha = ("length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
+             "/ length(text)")
+    punct = ("length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 "
+             "/ length(text)")
+    quality = (f"0.4 * ({alpha}) + 0.3 * ({stop_ratio}) "
+               f"+ 0.3 * (1.0 - ({punct}))")
+    norm = D.collapse_ws("upper(text)")
+    return f"""
+perrow AS (
+  SELECT doc_id, text, {quality} AS quality, {stop_ratio} AS stop_ratio,
+         regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS words,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+  FROM documents
+),
+perrow2 AS (
+  SELECT *, len(words) AS wc, len(lines) AS nlines,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+           / len(words) AS mean_wl
+  FROM perrow
+),
+rep AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1]))
+               AS gram
+      FROM perrow
+    ) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+),
+gated AS (
+  SELECT p.doc_id, p.text, round(p.quality, 6) AS quality,
+         CAST(p.wc AS INT) AS word_count,
+         CAST(coalesce(r.top_cnt, 0) AS BIGINT) AS top_bigram_cnt
+  FROM perrow2 p LEFT JOIN rep r USING (doc_id)
+  WHERE p.quality >= 0.5 AND p.stop_ratio >= 0.05
+    AND p.wc >= 50 AND p.wc <= 100000
+    AND p.mean_wl >= 3.0 AND p.mean_wl <= 10.0
+    AND CAST(p.n_hash + p.n_ell AS DOUBLE) / p.wc < 0.1
+    AND CAST(len(list_filter(p.lines,
+          l -> regexp_matches(l, '^[ \\t\\n\\x0b\\f\\r]*[-*]')))
+          AS DOUBLE) / p.nlines < 0.9
+    AND CAST(len(list_filter(p.lines, l -> ends_with(l, '...')))
+          AS DOUBLE) / p.nlines < 0.3
+    AND CAST(len(list_filter(p.words, w -> regexp_matches(w, '[A-Za-z]')))
+          AS DOUBLE) / p.wc > 0.8
+    AND coalesce(r.top_cnt * {REP_BIGRAM_DEN} < p.wc - 1, TRUE)
+),
+survivors AS (
+  SELECT doc_id, text, quality, word_count, top_bigram_cnt FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5({norm})) AS keeper
+    FROM gated
+  ) WHERE doc_id = keeper
+),
+docs AS (SELECT doc_id, text FROM survivors)"""
+
+
+def _sql_corpus_filter_v3():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    ctes = _corpus_v3_survivor_ctes()
+    pair_sql = dedup_sql.sql_simhash_near_dup(
+        3, max_bucket=CORPUS_FILTER_MAX_BUCKET
+    ).replace("WITH " + dedup_sql.DOCS_WITH_NEAR_DUPS_CTE, "WITH" + ctes)
+    return f"""
+WITH pairs AS ({pair_sql}),
+shadowed AS (SELECT DISTINCT id_b AS doc_id FROM pairs),{ctes}
+SELECT doc_id, quality, word_count, top_bigram_cnt
+FROM survivors
+WHERE doc_id NOT IN (SELECT doc_id FROM shadowed)"""
+
+
 # ---------------------------------------------------------------------------
 # W2/P11: preprocessing-variant try-all-keep-best
 # (issuer_processor_v2.py:296-330, IssuerBatchProcessorV3.py:374-393)
@@ -2848,6 +3045,7 @@ REGISTRY: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, sql_pack_sequences),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter),
     "corpus_filter_v2": (q_corpus_filter_v2, _sql_corpus_filter_v2),
+    "corpus_filter_v3": (q_corpus_filter_v3, _sql_corpus_filter_v3),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),

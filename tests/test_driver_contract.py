@@ -118,6 +118,55 @@ def test_corpus_filter_v2_rep_gate_bites(spark, tmp_path):
     assert set(oracle["doc_id"]) == kept
 
 
+def test_corpus_filter_v3_staged_semantics_and_plan(spark, tmp_path):
+    """VERDICT r05 #2. (a) Semantics: in v3 a doc that FAILS the cheap
+    gate can no longer shadow a near-duplicate that passes it. Planted
+    pair: doc 1 = doc 2 plus one 190-char '!' token — SimHash hamming 1
+    (one token of 60 barely moves the majority vote) but quality 0.452 <
+    0.5 (the punctuation mass). v2 computes shadowing before the gates,
+    so doc 2 is shadowed and BOTH vanish; v3 gates first, so doc 2
+    survives — on Spark and on the v3 DuckDB oracle alike. (b) Plan:
+    the staged shape reads at most 5 scans (the composed v2 carries 12)."""
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    base = (
+        "the market rate and steel price rose over a long term of trade "
+        "in the north region and firms kept more coal to sell when the "
+        "cold season came back with snow and wind over open plains the "
+        "crews hauled iron ore and grain to the port dock site and sold "
+        "most of it at fair value each week"
+    )
+    shadower = base + " " + "!" * 190
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        "text": [shadower, base],
+        "lang": "en",
+        "source": "web",
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    d = tmp_path / "v3_sf"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet", index=False)
+
+    v3 = Q.q_corpus_filter_v3(spark, str(d)).toPandas()
+    assert set(v3["doc_id"]) == {2}, v3
+    # v2 = {} doubles as proof the planted pair IS a near-dup: doc 2 can
+    # only be absent from v2 via shadowing (it passes every v2 gate)
+    v2 = Q.q_corpus_filter_v2(spark, str(d)).toPandas()
+    assert set(v2["doc_id"]) == set(), v2
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    oracle = con.execute(Q._sql_corpus_filter_v3()).df()
+    assert set(oracle["doc_id"]) == {2}
+
+    plan = Q.q_corpus_filter_v3(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 5, plan
+
+
 def test_entry_pins_utc_on_non_utc_driver(spark, duck):
     """ADVICE r04: a non-UTC driver session must not diverge from the
     naive-timestamp oracle — every contract callable pins the session
