@@ -342,7 +342,8 @@ EXOTIC_SEPARATORS = (
 
 def normalize_separators(col: Column) -> Column:
     """Map the Python-only whitespace characters to a plain space — the
-    opt-in scan-boundary normalizer (job.py --normalize-ws). A single
+    default-on scan-boundary normalizer (job.py --normalize-ws; pass
+    --no-normalize-ws to keep exotic separators byte-for-byte). A single
     translate (no regex engine, whole-stage-codegen friendly): 1:1
     char substitution is all the mapping needs."""
     return F.translate(col, EXOTIC_SEPARATORS, " " * len(EXOTIC_SEPARATORS))

@@ -48,11 +48,16 @@ def build_args(argv=None):
                          "(without it, a fresh run into a populated output "
                          "directory fails instead of silently destroying "
                          "resume state)")
-    ap.add_argument("--normalize-ws", action="store_true",
+    ap.add_argument("--normalize-ws", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="normalize exotic separators (\\x1c-\\x1f, NEL, "
                          "Unicode spaces) to plain spaces at the scan "
                          "boundary, so the Python-oracle and Catalyst "
-                         "engines agree beyond the ASCII input contract")
+                         "engines agree beyond the ASCII input contract. "
+                         "DEFAULT ON (VERDICT r05 #3) — real ingest should "
+                         "not depend on callers knowing the flag; pass "
+                         "--no-normalize-ws to preserve exotic separators "
+                         "byte-for-byte")
     ap.add_argument("--limit", type=int, default=None)
     return ap.parse_args(argv)
 
