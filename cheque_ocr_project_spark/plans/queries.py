@@ -2278,6 +2278,88 @@ def q_sessionize_chunked(spark, sf_dir):
     return sessionize_chunked(ev)
 
 
+_STREAM_SESSION_SEQ = iter(range(1, 1_000_000))
+
+
+def q_sessionize_streaming(spark, sf_dir):
+    """Driver-visible contract row for the Structured-Streaming stateful
+    sessionizer (streaming/stateful.py streaming_sessionize — the
+    applyInPandasWithState twin of q_sessionize; graft analog of the
+    reference's incremental machinery, parallel_processor.py:113-134):
+    run it in availableNow mode over the events table and return the
+    collected assignment relation, oracle = the SAME SQL_SESSIONIZE the
+    batch operators are checked against.
+
+    Harness adapter notes (sandbox-only mechanics, not the production
+    shape):
+    - the file stream source lists a DIRECTORY, and the test parquet is a
+      single file, so the file is symlinked into a temp staging dir; a
+      production ingest already reads a directory/prefix.
+    - sink is a memory sink (driver-side rows) purely so the harness can
+      hand the result back as a DataFrame; production is the parquet/
+      foreachBatch sink in streaming/stream.py. Row volume here is the
+      events table at contract scale (10^4..10^5), not 100 TB.
+    - availableNow does NOT self-terminate while applyInPandasWithState
+      processing-time timers are pending, so we poll the sink for
+      completeness (row count == source count) and stop explicitly —
+      the same discipline as tests/test_stateful_streaming.py.
+    """
+    import os
+    import tempfile
+    import time
+
+    from cheque_ocr_project_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    ev = _events(spark, sf_dir)
+    n_expected = ev.count()
+    stage = tempfile.mkdtemp(prefix="sess_stream_in_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="sess_stream_ckpt_")
+    table = f"sessionize_streaming_{next(_STREAM_SESSION_SEQ)}"
+
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if spark.table(table).count() >= n_expected:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    got = spark.table(table).count()
+    if got != n_expected:
+        raise RuntimeError(
+            f"streaming sessionize incomplete: {got}/{n_expected} rows"
+        )
+    # ts_us (tz-independent long) -> the contract TIMESTAMP_NTZ, the
+    # exact inverse of the operator's ns//1000; columns/aliases match
+    # SQL_SESSIONIZE so the driver's sorted-column value hash aligns.
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return spark.table(table).select(
+        "event_id",
+        "user_id",
+        F.timestamp_add("MICROSECOND", F.col("ts_us"), epoch).alias("ts"),
+        "session_seq",
+        "is_session_start",
+    )
+
+
 def asof_join_chunked(ev: DataFrame,
                       chunk_us: int = SESSION_CHUNK_US) -> DataFrame:
     """As-of join as a two-pass running last: the carried latest-click
@@ -3039,6 +3121,7 @@ REGISTRY: dict[str, tuple] = {
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_chunked": (q_sessionize_chunked, SQL_SESSIONIZE),
+    "sessionize_streaming": (q_sessionize_streaming, SQL_SESSIONIZE),
     "funnel": (q_funnel, SQL_FUNNEL),
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "decontaminate": (q_decontaminate, sql_decontaminate),
