@@ -365,6 +365,12 @@ def _check_index_params(spark, table: str, params: dict) -> None:
         )
 
 
+def _delta_table(table: str) -> str:
+    """Side relation holding banded rows of batches appended since the
+    last compaction (the LSM-ish 'memtable' of the persisted index)."""
+    return f"{table}__delta"
+
+
 def incremental_minhash_candidates(spark, new_docs: DataFrame, table: str,
                                    id_col: str, text_col: str,
                                    num_perm: int = 64, bands: int = 16,
@@ -372,7 +378,15 @@ def incremental_minhash_candidates(spark, new_docs: DataFrame, table: str,
                                    seed: int = DEFAULT_SEED) -> DataFrame:
     """(id_a=new, id_b=corpus, sig_a, sig_b) band-mate candidates of a new
     batch against the persisted index. The corpus scan reads
-    bucket-aligned: the sort-merge join needs NO exchange above it."""
+    bucket-aligned: the sort-merge join needs NO exchange above it.
+
+    If un-compacted appended batches exist (append_to_minhash_index), the
+    probe ALSO joins the delta relation — as a SECOND join unioned after,
+    never a union below the join: a union's output partitioning is
+    unknown, so unioning the relations first would force a corpus-side
+    exchange and destroy exactly the zero-exchange property the bucketed
+    layout paid for. The delta side is small by contract (it is folded
+    into the index by compact_index before it grows)."""
     _check_index_params(spark, table, dict(
         num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed))
     corpus = spark.table(table).select(
@@ -383,10 +397,21 @@ def incremental_minhash_candidates(spark, new_docs: DataFrame, table: str,
     ).select(
         "band_key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
     )
-    return (
+    cand = (
         new_banded.join(corpus, "band_key")
         .filter(F.col("id_a") != F.col("id_b"))
     )
+    delta = _delta_table(table)
+    if spark.catalog.tableExists(delta):
+        dcorpus = spark.table(delta).select(
+            "band_key", F.col("id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+        )
+        cand = cand.unionByName(
+            new_banded.join(dcorpus, "band_key")
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+    return cand
 
 
 def incremental_minhash_pairs(spark, new_docs: DataFrame, table: str,
@@ -403,6 +428,110 @@ def incremental_minhash_pairs(spark, new_docs: DataFrame, table: str,
         shingle_k, seed,
     ).select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates(["id_a", "id_b"])
     return _est_filtered_pairs(cand, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Rolling-ingest index maintenance (VERDICT r05 #5). write_bucketed
+# correctly refuses append (a second file per bucket breaks the
+# sort-elision invariant, SPARK-28632), and LSH band keys are
+# hash-uniform, so ANY batch touches essentially every bucket — a
+# "rewrite only touched buckets" append degenerates to a full rewrite.
+# The scale-honest design is therefore LSM-shaped: appended batches land
+# in an unbucketed DELTA side table (cheap, append-only); probes join the
+# bucketed index exchange-free AND the small delta; compact_index
+# periodically folds the delta back into the bucketed layout in one
+# corpus-wide shuffle, amortized over the batches in between. Reference
+# analog: the per-batch master re-read + re-group of
+# issuer_processor_v.py:244-258, amortized into a layout.
+# ---------------------------------------------------------------------------
+
+
+def append_to_minhash_index(spark, new_docs: DataFrame, table: str,
+                            id_col: str, text_col: str, num_perm: int = 64,
+                            bands: int = 16, shingle_k: int = 5,
+                            seed: int = DEFAULT_SEED) -> None:
+    """Band a new batch with the INDEX's parameters (guard is as loud as
+    the probe's — appending rows banded under a different geometry would
+    poison the index silently) and append it to the delta side table.
+    Caller contract: ids not already in the index (same contract as the
+    probe's pair identity)."""
+    _check_index_params(spark, table, dict(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed))
+    banded = minhash_banded(new_docs, id_col, text_col, num_perm, bands,
+                            shingle_k, seed)
+    banded.write.format("parquet").mode("append").saveAsTable(
+        _delta_table(table))
+
+
+def append_to_simhash_index(spark, new_docs: DataFrame, table: str,
+                            id_col: str, text_col: str,
+                            max_hamming: int = 3) -> None:
+    """SimHash twin of append_to_minhash_index."""
+    _check_index_params(spark, table, dict(max_hamming=max_hamming))
+    banded = simhash_banded(new_docs, id_col, text_col, max_hamming)
+    banded.write.format("parquet").mode("append").saveAsTable(
+        _delta_table(table))
+
+
+def _table_bucket_spec(spark, table: str) -> tuple[list[str], int]:
+    """(bucket columns, bucket count) from the catalog — the metadata is
+    authoritative; a stamped copy could drift from the actual layout."""
+    import re as _re
+
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    cols_raw = rows.get("Bucket Columns", "")
+    keys = _re.findall(r"`([^`]+)`", cols_raw)
+    n = rows.get("Num Buckets", "")
+    if not keys or not n.strip().isdigit():
+        raise ValueError(
+            f"{table} is not a bucketed table (Bucket Columns={cols_raw!r}, "
+            f"Num Buckets={n!r}); compact_index only maintains indexes "
+            "persisted through persist_*_index"
+        )
+    return keys, int(n)
+
+
+def compact_index(spark, table: str) -> None:
+    """Fold the delta side table back into the bucketed index: ONE
+    corpus-wide shuffle (the same cost persist paid once), after which
+    probes are exchange-free on the whole corpus again. Works for any
+    persist_*_index table — bucket spec comes from the catalog, LSH
+    parameters are carried over from the stored table properties.
+    Crash-safe ordering: the new layout is fully written and stamped
+    under a temp name before the old table is swapped out."""
+    stored = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    params = {k[4:]: v for k, v in stored.items() if k.startswith("lsh.")}
+    if not params:
+        raise ValueError(
+            f"index {table} has no stored 'lsh.*' parameters — it was "
+            "never persisted through persist_*_index; refusing to compact "
+            "an unverifiable layout"
+        )
+    keys, n_buckets = _table_bucket_spec(spark, table)
+    delta = _delta_table(table)
+    if not spark.catalog.tableExists(delta):
+        return  # nothing appended since the last compaction
+    from cheque_ocr_project_spark.sources.io import write_bucketed
+
+    cols = spark.table(table).columns
+    merged = spark.table(table).select(cols).unionByName(
+        spark.table(delta).select(cols)
+    )
+    tmp, old = f"{table}__compact", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    write_bucketed(merged, tmp, keys, n_buckets=n_buckets)
+    _set_index_params(spark, tmp, params)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
+    spark.sql(f"DROP TABLE {delta}")
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -518,8 +647,20 @@ def incremental_simhash_pairs(spark, new_docs: DataFrame, table: str,
     cand = (
         new_banded.join(corpus, "chunk_key")
         .filter(F.col("id_a") != F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    delta = _delta_table(table)
+    if spark.catalog.tableExists(delta):
+        # second join + union ABOVE it — see incremental_minhash_candidates
+        # for why a union below the join would re-shuffle the corpus side
+        dcorpus = spark.table(delta).select(
+            "chunk_key", F.col("id").alias("id_b"),
+            F.col("simhash").alias("sim_b"),
+        )
+        cand = cand.unionByName(
+            new_banded.join(dcorpus, "chunk_key")
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming)

@@ -587,3 +587,152 @@ def test_incremental_simhash_index_colocates_and_matches(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_simhash_idx")
+
+
+def test_index_append_probe_compact_roll_forward(spark):
+    """VERDICT r05 #5: the rolling-ingest story. A second batch appended
+    via append_to_minhash_index (a) is SEEN by subsequent probes (delta
+    join), (b) lands in the bucketed index after compact_index, with
+    (c) co-location preserved — the post-compaction candidate join is
+    back to exactly ONE exchange (new side only) — and (d) pair results
+    equal the full recompute (itself DuckDB-oracle-proven) before AND
+    after compaction."""
+    import re as _re
+
+    import pytest
+
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while market prices "
+        "for steel and textiles continued to rise across the quarter"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"{base} batch marker {i % 11}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(1000 + i, f"{base} batch marker {i % 11}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(3000 + i, f"{base} batch marker {i % 11}") for i in range(20)]
+        + [(3999, "entirely unrelated astronomy content about minor "
+                  "planets and orbital resonance in the outer belt")],
+        "doc_id long, text string",
+    )
+
+    def probe_pairs():
+        return {
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in DD.incremental_minhash_pairs(
+                spark, probe, "t_roll_idx", "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+
+    expected = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), r.est_jaccard)
+        for r in DD.minhash_lsh_pairs(
+            corpus.unionByName(batch2).unionByName(probe),
+            "doc_id", "text", threshold=0.5,
+        ).collect()
+        if (r.id_a >= 3000) != (r.id_b >= 3000)
+    }
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        DD.persist_minhash_index(corpus, "t_roll_idx", "doc_id", "text",
+                                 n_buckets=8)
+
+        # geometry guard is as loud on append as on probe
+        with pytest.raises(ValueError, match="different LSH parameters"):
+            DD.append_to_minhash_index(spark, batch2, "t_roll_idx",
+                                       "doc_id", "text", bands=8)
+
+        DD.append_to_minhash_index(spark, batch2, "t_roll_idx",
+                                   "doc_id", "text")
+        assert spark.catalog.tableExists("t_roll_idx__delta")
+
+        # (a)+(d): probe sees index AND delta; equals the full recompute
+        before = probe_pairs()
+        assert before == expected
+        assert any(b >= 1000 for _a, b, _e in before), \
+            "no pair against the appended batch — delta not probed"
+        assert not any(a == 3999 for a, _b, _e in before)
+
+        # (b): compaction folds the delta into the bucketed layout
+        # (write_bucketed re-asserts one-file-per-bucket internally)
+        DD.compact_index(spark, "t_roll_idx")
+        assert not spark.catalog.tableExists("t_roll_idx__delta")
+        assert not spark.catalog.tableExists("t_roll_idx__compact")
+        assert not spark.catalog.tableExists("t_roll_idx__old")
+
+        # (c): post-compaction candidate join is exchange-free on the
+        # corpus side again — ONE exchange, the small probe side
+        cand = DD.incremental_minhash_candidates(
+            spark, probe, "t_roll_idx", "doc_id", "text"
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        n_ex = len(_re.findall(r"\bExchange hashpartitioning", plan))
+        assert n_ex == 1, f"corpus side re-shuffled after compaction:\n{plan}"
+
+        # (d) again: same pairs from the compacted layout
+        assert probe_pairs() == expected
+
+        # idempotent no-op when nothing is pending
+        DD.compact_index(spark, "t_roll_idx")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_roll_idx", "t_roll_idx__delta", "t_roll_idx__compact",
+                  "t_roll_idx__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_simhash_index_append_probe(spark):
+    """SimHash twin: an appended batch is visible to the delta-aware
+    probe and folds in via the generic compact_index."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while market prices "
+        "for steel and textiles continued to rise across the quarter"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"{base} batch marker {i % 7}") for i in range(150)],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(1000 + i, f"{base} batch marker {i % 7}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(3000, f"{base} batch marker 1")], "doc_id long, text string",
+    )
+    try:
+        DD.persist_simhash_index(corpus, "t_roll_sim", "doc_id", "text",
+                                 n_buckets=4)
+        DD.append_to_simhash_index(spark, batch2, "t_roll_sim",
+                                   "doc_id", "text")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in DD.incremental_simhash_pairs(
+                spark, probe, "t_roll_sim", "doc_id", "text"
+            ).collect()
+        }
+        assert any(b >= 1000 for _a, b in pairs), "delta not probed"
+        assert any(b < 1000 for _a, b in pairs), "index not probed"
+        DD.compact_index(spark, "t_roll_sim")
+        assert not spark.catalog.tableExists("t_roll_sim__delta")
+        after = {
+            (r.id_a, r.id_b)
+            for r in DD.incremental_simhash_pairs(
+                spark, probe, "t_roll_sim", "doc_id", "text"
+            ).collect()
+        }
+        assert after == pairs
+    finally:
+        for t in ("t_roll_sim", "t_roll_sim__delta", "t_roll_sim__compact",
+                  "t_roll_sim__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
