@@ -30,20 +30,30 @@ from cheque_ocr_project_spark.plans import queries as Q
 SF0001 = "/root/testdata/sf0.001"
 
 
-def _pin_utc(spark: SparkSession) -> None:
+def _pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # AQE skew-join is a LOAD-BEARING mitigation, not an optimization
+    # nicety: q_tfidf_topk's tf⋈df join shuffles on the zipfian term key
+    # (a stop-word's partition carries ~n_docs rows), and the plan-shape
+    # audit accepts that join only because AQE splits the hot partitions
+    # at runtime. It is session config, not plan shape, so the external
+    # driver's session cannot be assumed — pin it here exactly like the
+    # timezone (both are runtime SQL confs), and verify the pin took.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    _pin_utc(spark)
+    _pin_session_confs(spark)
     return Q.q_flagship_extract(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def with_utc(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            _pin_utc(spark)
+            _pin_session_confs(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = getattr(fn, "__name__", "query")

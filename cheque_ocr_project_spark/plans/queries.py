@@ -732,7 +732,16 @@ def q_tfidf_topk(spark, sf_dir):
     collapse before their shuffles; two passes over a pruned 2-column
     scan is the cheaper price. (ReuseExchange cannot merge the
     branches: column pruning drops tf from the document-frequency agg,
-    so the partial-agg subtrees differ.)"""
+    so the partial-agg subtrees differ.)
+
+    Skew note (VERDICT r05 #6): the tf⋈df join still shuffles on the
+    zipfian term key, and a stop-word's post-agg partition carries up to
+    ~n_docs rows. The load-bearing mitigation is AQE skew-join — runtime
+    CONFIG, not plan shape — which splits the hot probe partitions; both
+    inputs being map-side combined bounds what any partition can hold to
+    distinct (doc, term) pairs, never raw token rows. The config is
+    therefore pinned where the contract session is prepared
+    (__spark_entry__._pin_session_confs) and in tests/conftest.py, not assumed."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.explode(
@@ -3160,28 +3169,27 @@ REGISTRY: dict[str, tuple] = {
 # that closes the sampling blind spot (VERDICT r02 item 4).
 # Registry order = driver sampling order (the driver checks the first 50).
 # Rotated each round so every oracle-backed query gets a green driver row
-# within a trailing two-round window: round 5 leads with the round-5
-# additions (never driver-checked), then the two rows-only flagships
-# (last driver rows r02 — VERDICT r04 #4), then everything the r04 sample
-# missed (all r03-green). 37 entries: with 87 registered queries the
-# 50-query sample covers all of these plus 13 r04-greens; the remaining
-# 37 r04-greens stay inside the trailing two-round window.
+# within a trailing two-round window (VERDICT r05 #7): round 6 leads with
+# the round-6 additions (never driver-checked), then the 37 oracle-backed
+# queries the r05 sample missed (all r04-green). 39 entries: the 50-query
+# sample covers all of these plus 11 r05-greens; the remaining r05-greens
+# stay inside the trailing two-round window, so union(r05, r06) covers
+# every oracle-backed query.
 _CHECK_FIRST = (
-    # round-5 additions, never sampled
-    "corpus_filter_v2", "embedding_lsh_near_dup_capped",
-    "ann_lsh_topk_capped", "sessionize_chunked", "asof_join_chunked",
-    "pii_redact", "rep_dup_lines", "tfidf_topk", "doclen_quantiles",
-    "doc_chunks", "funnel", "vocab_topk", "source_token_budget",
-    # rows-only flagships, last sampled r02 (VERDICT r04 #4)
-    "flagship_extract", "flagship_extract_v3",
-    # r04-unsampled (green r03)
-    "corpus_filter", "ngram_jaccard_pairs", "embedding_near_dup",
-    "embedding_lsh_near_dup", "ann_lsh_topk", "ann_ivf_topk",
-    "media_image_features", "ner_entities", "score_name", "govt_entity",
-    "officer_designation", "filename_fields", "line_confidence",
-    "window_order", "clean_text_v2", "containment_match",
-    "pricing_summary", "revenue_by_nation", "top_customers",
-    "main_content_plain", "fast_pattern_extract", "for_first3",
+    # round-6 additions, never sampled
+    "sessionize_streaming", "corpus_filter_v3",
+    # r05-unsampled (green r04)
+    "event_status_gate", "event_stats", "json_props", "union_dedup",
+    "last_tokens", "lev_match", "ann_topk", "minhash_near_dup",
+    "minhash_near_dup_capped", "simhash_near_dup", "near_dup_clusters",
+    "winnow_fingerprint", "train_val_split", "stratified_sample",
+    "gopher_quality", "rep_top_bigram", "asof_join", "sessionize",
+    "event_rollup", "decontaminate", "pack_sequences",
+    "media_audio_features", "media_frame_sample", "media_resize",
+    "flagship_nofuzzy", "flagship_v3_nofuzzy", "variant_keep_best",
+    "zero_shot_classify", "qa_extract", "t5_spell", "model_ensemble",
+    "clean_text_v3", "junk_v3", "remove_prefixes", "issuer_for_grammar",
+    "issuer_auth_account_grammar", "issuer_simple",
 )
 
 

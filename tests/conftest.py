@@ -10,6 +10,9 @@ def spark():
         .appName("cheque_ocr_project_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        # load-bearing for the skewed tf⋈df term join in q_tfidf_topk
+        # (hot-key mitigation is AQE config, not plan shape)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
