@@ -104,6 +104,23 @@ SELECT id_a, id_b, round(est, 6) AS est_jaccard
 FROM est WHERE est >= {threshold}"""
 
 
+def sql_minhash_incremental(num_perm: int = 64, bands: int = 16,
+                            shingle_k: int = 5, threshold: float = 0.5,
+                            seed: int = DD.DEFAULT_SEED,
+                            probe_min_id: int = 1000000) -> str:
+    """Oracle for the persisted-index probe (q_minhash_incremental): the
+    full-recompute pair set restricted to cross pairs (probe side = the
+    near-dup clones, ids >= probe_min_id), re-oriented to the incremental
+    convention id_a = probe id, id_b = corpus/delta id. Identical
+    signature machinery — the index layout changes WHERE the join reads,
+    never WHAT it computes."""
+    base = sql_minhash_near_dup(num_perm, bands, shingle_k, threshold, seed)
+    return f"""SELECT p.id_b AS id_a, p.id_a AS id_b, p.est_jaccard
+FROM ({base}
+) p
+WHERE p.id_a < {probe_min_id} AND p.id_b >= {probe_min_id}"""
+
+
 def sql_winnow_fingerprint(k: int = 8, window: int = 8) -> str:
     """Winnowing twin of dedup.winnowing_fingerprints over documents."""
     shingles = (

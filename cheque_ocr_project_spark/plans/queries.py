@@ -1129,6 +1129,52 @@ def q_simhash_near_dup(spark, sf_dir):
     return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+MINHASH_CONTRACT_TABLE = "minhash_contract_idx"
+
+
+def _drop_table_and_location(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS plus the managed-table directory: a previous
+    SESSION's warehouse dir can survive while the current session's
+    catalog has no entry for it, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS. Deleting through the Hadoop FileSystem API
+    keeps this correct for any warehouse scheme, not just file://."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def q_minhash_incremental(spark, sf_dir):
+    """The rolling-ingest index path under the driver oracle (previously
+    eq-test only): persist a band_key-bucketed index over the even-id
+    originals, APPEND the odd-id originals as a delta batch
+    (append_to_minhash_index), then probe with the near-dup clones
+    (ids >= 1,000,000) through the delta-aware incremental join. Pairs
+    must equal the full recompute restricted to cross pairs — the clones'
+    originals sit in BOTH the bucketed index (even) and the delta (odd),
+    so a silently unprobed delta or index would drop about half the
+    pairs, not zero. Idempotent per invocation: the delta is dropped
+    before the append and the index is persisted with overwrite."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    originals = docs.filter(F.col("doc_id") < 1000000)
+    corpus = originals.filter(F.col("doc_id") % 2 == 0)
+    batch = originals.filter(F.col("doc_id") % 2 == 1)
+    probe = docs.filter(F.col("doc_id") >= 1000000)
+    t = MINHASH_CONTRACT_TABLE
+    _drop_table_and_location(spark, t)
+    _drop_table_and_location(spark, f"{t}__delta")
+    DD.persist_minhash_index(corpus, t, "doc_id", "text", n_buckets=8)
+    DD.append_to_minhash_index(spark, batch, t, "doc_id", "text")
+    return DD.incremental_minhash_pairs(
+        spark, probe, t, "doc_id", "text", threshold=0.5
+    )
+
+
 def _sql_minhash_near_dup():
     from cheque_ocr_project_spark.plans import dedup_sql
 
@@ -1150,6 +1196,14 @@ def _sql_simhash_near_dup():
     from cheque_ocr_project_spark.plans import dedup_sql
 
     return dedup_sql.sql_simhash_near_dup(max_hamming=3)
+
+
+def _sql_minhash_incremental():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    return dedup_sql.sql_minhash_incremental(
+        num_perm=64, bands=16, shingle_k=5, threshold=0.5
+    )
 
 
 def q_winnow_fingerprint(spark, sf_dir):
@@ -3113,6 +3167,7 @@ REGISTRY: dict[str, tuple] = {
         q_minhash_near_dup_capped, _sql_minhash_near_dup_capped
     ),
     "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
+    "minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
     "train_val_split": (q_train_val_split, sql_train_val_split),
@@ -3177,7 +3232,7 @@ REGISTRY: dict[str, tuple] = {
 # every oracle-backed query.
 _CHECK_FIRST = (
     # round-6 additions, never sampled
-    "sessionize_streaming", "corpus_filter_v3",
+    "sessionize_streaming", "corpus_filter_v3", "minhash_incremental",
     # r05-unsampled (green r04)
     "event_status_gate", "event_stats", "json_props", "union_dedup",
     "last_tokens", "lev_match", "ann_topk", "minhash_near_dup",
