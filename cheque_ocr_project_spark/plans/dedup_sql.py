@@ -172,6 +172,47 @@ SELECT component, count(*) AS n_members,
 FROM comp GROUP BY component"""
 
 
+def sql_dedup_survivors(max_hamming: int = 3) -> str:
+    """Canonical-selection twin of q_dedup_survivors: SimHash components
+    (recursive-CTE closure, as sql_near_dup_clusters) + singleton
+    fallback, survivor = longest text then smallest doc_id, in the same
+    deterministic two-agg form."""
+    pair_sql = sql_simhash_near_dup(max_hamming)
+    body = pair_sql.split("WITH", 1)[1]
+    final_select = body.rindex("SELECT id_a, id_b")
+    ctes, final = body[:final_select].rstrip().rstrip(","), body[final_select:]
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({final.strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, m) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.m FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+alldocs AS (
+  SELECT doc_id, coalesce(length(text), 0) AS len FROM docs
+),
+j AS (
+  SELECT d.doc_id, d.len, coalesce(c.component, d.doc_id) AS cluster
+  FROM alldocs d LEFT JOIN comp c ON c.node = d.doc_id
+),
+agg AS (
+  SELECT cluster, count(*) AS n_members, max(len) AS survivor_len
+  FROM j GROUP BY cluster
+)
+SELECT a.cluster,
+       CAST(a.n_members AS BIGINT) AS n_members,
+       CAST(min(j.doc_id) AS BIGINT) AS survivor_id,
+       CAST(a.survivor_len AS BIGINT) AS survivor_len
+FROM j JOIN agg a ON j.cluster = a.cluster AND j.len = a.survivor_len
+GROUP BY a.cluster, a.n_members, a.survivor_len"""
+
+
 def sql_simhash_near_dup(max_hamming: int = 3,
                          max_bucket: int | None = None) -> str:
     """SimHash twin; ``max_bucket`` mirrors dedup.cap_bucket_size exactly

@@ -1246,6 +1246,51 @@ def _sql_near_dup_clusters():
     return dedup_sql.sql_near_dup_clusters(max_hamming=3)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Canonical-document selection — the step a corpus pipeline actually
+    runs AFTER near-dup clustering: every document lands in a cluster
+    (its SimHash component, or itself as a singleton) and each cluster
+    keeps exactly one survivor, chosen by longest text with
+    smallest-doc_id tie-break. The argmax is the deterministic two-agg
+    form (max length per cluster, then min id among the max-length
+    members), NOT max_by over a struct — max_by's tie behavior is
+    engine/partition-order dependent, and a window over the cluster key
+    would put a whale cluster (every doc identical) in one task. All
+    stages are keyed aggregations with map-side combine; the join-back
+    on a skewed cluster key rides AQE skew-join like tfidf's term join."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = DD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    comp = DD.connected_components(pairs)
+    d = docs.select(
+        "doc_id", F.coalesce(F.length("text"), F.lit(0)).alias("len")
+    )
+    j = d.join(comp, d.doc_id == comp.node, "left").select(
+        "doc_id", "len", F.coalesce("comp", "doc_id").alias("cluster")
+    )
+    agg = j.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("len").alias("survivor_len"),
+    )
+    return (
+        j.join(agg, "cluster")
+        .filter(F.col("len") == F.col("survivor_len"))
+        .groupBy("cluster", "n_members", "survivor_len")
+        .agg(F.min("doc_id").alias("survivor_id"))
+        .select(
+            "cluster", "n_members", "survivor_id",
+            F.col("survivor_len").cast("long").alias("survivor_len"),
+        )
+    )
+
+
+def _sql_dedup_survivors():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    return dedup_sql.sql_dedup_survivors(max_hamming=3)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from cheque_ocr_project_spark.operators import dedup as DD
 
@@ -2423,6 +2468,98 @@ def q_sessionize_streaming(spark, sf_dir):
     )
 
 
+_STREAM_PROGRESS_SEQ = iter(range(1, 1_000_000))
+
+
+def q_conversation_progress(spark, sf_dir):
+    """Driver-visible contract row for the OTHER stateful streaming
+    operator (streaming/stateful.conversation_progress — per-conversation
+    running aggregates via applyInPandasWithState; graft analog of the
+    reference's in-process mutable counters, issuer_processor_v.py:63-69):
+    drive it in availableNow mode over documents-as-transcripts and
+    return the final per-conversation aggregates; oracle = the plain
+    GROUP BY the running state converges to.
+
+    Determinism: the staged input is written as ONE parquet file so
+    availableNow runs a single micro-batch, and the idle timeout is set
+    beyond the run length so no timeout-eviction rows interleave. The
+    update-mode memory sink keeps every emission; since the tracked
+    counters are monotone non-decreasing across emissions, max() per
+    conversation is exactly the final state (and with one batch there is
+    exactly one emission per conversation anyway). Harness mechanics
+    (staging dir, memory sink, poll-and-stop) are shared with
+    q_sessionize_streaming — see its docstring."""
+    import tempfile
+    import time
+
+    from cheque_ocr_project_spark.streaming.stateful import (
+        conversation_progress,
+    )
+
+    tr = documents_as_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    n_convs = tr.select("conv_id").distinct().count()
+    stage = tempfile.mkdtemp(prefix="conv_stream_in_")
+    tr.coalesce(1).write.mode("overwrite").parquet(stage)
+    ckpt = tempfile.mkdtemp(prefix="conv_stream_ckpt_")
+    table = f"conversation_progress_{next(_STREAM_PROGRESS_SEQ)}"
+
+    stream = spark.readStream.schema(tr.schema).parquet(stage)
+    q = (
+        conversation_progress(stream, idle_timeout_ms=3_600_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if (
+                spark.table(table).select("conv_id").distinct().count()
+                >= n_convs
+            ):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    got = spark.table(table).select("conv_id").distinct().count()
+    if got != n_convs:
+        raise RuntimeError(
+            f"streaming progress incomplete: {got}/{n_convs} conversations"
+        )
+    return spark.table(table).groupBy("conv_id").agg(
+        F.max("turns_seen").alias("turns_seen"),
+        F.max("max_turn_idx").alias("max_turn_idx"),
+        F.max("payee_marker_turns").alias("payee_marker_turns"),
+    )
+
+
+# mirrors streaming/stateful._PAYEE_MARKERS (substring containment on the
+# uppercased text, null -> '') and the documents_as_transcripts key split
+# (SQL twin of the conv_id/turn_idx expressions in flagship_sql.py:367)
+SQL_CONVERSATION_PROGRESS = """
+WITH t AS (
+  SELECT source || '-' || CAST(doc_id // 2147483648 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 2147483648 AS INT) AS turn_idx,
+         upper(coalesce(text, '')) AS u
+  FROM documents
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS turns_seen,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn_idx,
+       CAST(sum(CASE WHEN contains(u, 'PAY') OR contains(u, 'ORDER OF')
+                       OR contains(u, 'FAVOUR OF')
+                       OR contains(u, 'BENEFICIARY')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS payee_marker_turns
+FROM t GROUP BY conv_id"""
+
+
 def asof_join_chunked(ev: DataFrame,
                       chunk_us: int = SESSION_CHUNK_US) -> DataFrame:
     """As-of join as a two-pass running last: the carried latest-click
@@ -3169,6 +3306,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
     "minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
+    "dedup_survivors": (q_dedup_survivors, _sql_dedup_survivors),
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
     "train_val_split": (q_train_val_split, sql_train_val_split),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
@@ -3186,6 +3324,9 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_chunked": (q_sessionize_chunked, SQL_SESSIONIZE),
     "sessionize_streaming": (q_sessionize_streaming, SQL_SESSIONIZE),
+    "conversation_progress": (
+        q_conversation_progress, SQL_CONVERSATION_PROGRESS
+    ),
     "funnel": (q_funnel, SQL_FUNNEL),
     "event_rollup": (q_event_rollup, SQL_EVENT_ROLLUP),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -3232,7 +3373,8 @@ REGISTRY: dict[str, tuple] = {
 # every oracle-backed query.
 _CHECK_FIRST = (
     # round-6 additions, never sampled
-    "sessionize_streaming", "corpus_filter_v3", "minhash_incremental",
+    "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
+    "minhash_incremental", "dedup_survivors",
     # r05-unsampled (green r04)
     "event_status_gate", "event_stats", "json_props", "union_dedup",
     "last_tokens", "lev_match", "ann_topk", "minhash_near_dup",
