@@ -172,6 +172,17 @@ SELECT component, count(*) AS n_members,
 FROM comp GROUP BY component"""
 
 
+def sql_simhash_incremental(max_hamming: int = 3,
+                            probe_min_id: int = 1000000) -> str:
+    """SimHash twin of sql_minhash_incremental: full-recompute pairs
+    restricted to cross pairs, probe side = the near-dup clones."""
+    base = sql_simhash_near_dup(max_hamming)
+    return f"""SELECT p.id_b AS id_a, p.id_a AS id_b, p.hamming
+FROM ({base}
+) p
+WHERE p.id_a < {probe_min_id} AND p.id_b >= {probe_min_id}"""
+
+
 def sql_dedup_survivors(max_hamming: int = 3) -> str:
     """Canonical-selection twin of q_dedup_survivors: SimHash components
     (recursive-CTE closure, as sql_near_dup_clusters) + singleton

@@ -1206,6 +1206,37 @@ def _sql_minhash_incremental():
     )
 
 
+SIMHASH_CONTRACT_TABLE = "simhash_contract_idx"
+
+
+def q_simhash_incremental(spark, sf_dir):
+    """SimHash twin of q_minhash_incremental: same three-way split
+    (even-id corpus → persisted chunk_key-bucketed index, odd-id batch →
+    delta append, clones → delta-aware probe), same both-paths-must-fire
+    property. See q_minhash_incremental for the setup discipline."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    originals = docs.filter(F.col("doc_id") < 1000000)
+    corpus = originals.filter(F.col("doc_id") % 2 == 0)
+    batch = originals.filter(F.col("doc_id") % 2 == 1)
+    probe = docs.filter(F.col("doc_id") >= 1000000)
+    t = SIMHASH_CONTRACT_TABLE
+    _drop_table_and_location(spark, t)
+    _drop_table_and_location(spark, f"{t}__delta")
+    DD.persist_simhash_index(corpus, t, "doc_id", "text", n_buckets=8)
+    DD.append_to_simhash_index(spark, batch, t, "doc_id", "text")
+    return DD.incremental_simhash_pairs(
+        spark, probe, t, "doc_id", "text", max_hamming=3
+    )
+
+
+def _sql_simhash_incremental():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    return dedup_sql.sql_simhash_incremental(max_hamming=3)
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing fingerprints (rolling-hash k-grams → window minima): any
     shared substring of length >= k + w - 1 yields a shared fingerprint —
@@ -3305,6 +3336,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
     "minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental),
+    "simhash_incremental": (q_simhash_incremental, _sql_simhash_incremental),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
     "dedup_survivors": (q_dedup_survivors, _sql_dedup_survivors),
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
@@ -3374,7 +3406,7 @@ REGISTRY: dict[str, tuple] = {
 _CHECK_FIRST = (
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
-    "minhash_incremental", "dedup_survivors",
+    "minhash_incremental", "simhash_incremental", "dedup_survivors",
     # r05-unsampled (green r04)
     "event_status_gate", "event_stats", "json_props", "union_dedup",
     "last_tokens", "lev_match", "ann_topk", "minhash_near_dup",
