@@ -1292,7 +1292,16 @@ def q_dedup_survivors(spark, sf_dir):
     from cheque_ocr_project_spark.operators import dedup as DD
 
     docs = _docs_with_near_dups(spark, sf_dir)
-    pairs = DD.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dedup_survivors_over(docs)
+
+
+def dedup_survivors_over(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The composition behind q_dedup_survivors, over any (doc_id, text)
+    relation — factored out so the tie-break and plan shape are testable
+    on planted inputs."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    pairs = DD.simhash_pairs(docs, "doc_id", "text", max_hamming=max_hamming)
     comp = DD.connected_components(pairs)
     d = docs.select(
         "doc_id", F.coalesce(F.length("text"), F.lit(0)).alias("len")

@@ -736,3 +736,34 @@ def test_simhash_index_append_probe(spark):
         for t in ("t_roll_sim", "t_roll_sim__delta", "t_roll_sim__compact",
                   "t_roll_sim__old"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_survivors_tiebreak_and_no_window(spark):
+    """Canonical selection must (a) be deterministic on length ties —
+    min doc_id among the max-length members, regardless of partition
+    order — and (b) never plan a per-cluster ranking window (a whale
+    cluster of identical docs would pin one task). Planted cluster:
+    three byte-identical docs (ids 9, 3, 5 — a pure length tie) plus an
+    unrelated singleton; longest-wins selection is separately proven by
+    the dedup_survivors driver oracle row, where every mutated clone is
+    strictly shorter than its original."""
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while market prices "
+        "for steel and textiles continued to rise across the quarter"
+    )
+    rows = [(9, base), (3, base), (5, base),
+            (42, "entirely unrelated astronomy content about minor "
+                 "planets and orbital resonance in the outer belt")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = Q.dedup_survivors_over(docs)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan, plan
+
+    got = {r.cluster: r for r in out.collect()}
+    assert got[3].n_members == 3
+    assert got[3].survivor_id == 3          # tie -> MIN id, never 5 or 9
+    assert got[3].survivor_len == len(base)
+    assert got[42].n_members == 1 and got[42].survivor_id == 42
