@@ -1644,6 +1644,38 @@ def _sql_flagship_nofuzzy():
     return flagship_sql.sql_flagship_nofuzzy()
 
 
+def q_streaming_extract_nofuzzy(spark, sf_dir):
+    """The incremental-ingest S-family path under the driver oracle:
+    stream_extract (streaming/stream.py — foreachBatch over the SAME
+    extract_turns_udf the batch flagship runs, parquet sink partitioned
+    by batch_id for at-least-once idempotency; graft analog of the
+    reference's incremental batch machinery, parallel_processor.py)
+    driven availableNow over staged transcripts, then the SINK read back
+    as the result. Empty drawer dictionary makes every stage exact-SQL
+    (the fuzzy join reduces to the identity), so the oracle is the same
+    _sql_flagship_nofuzzy the batch row uses — proving streaming ingest
+    lands bit-identical records to the batch pipeline, through the real
+    parquet sink rather than a memory adapter. foreachBatch availableNow
+    self-terminates (no state timers), so a plain awaitTermination is
+    sound here, unlike the stateful adapters."""
+    import tempfile
+
+    from cheque_ocr_project_spark.oracle import issuer as oracle_issuer
+    from cheque_ocr_project_spark.streaming import stream as ST
+
+    tr = documents_as_transcripts(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="extract_stream_in_")
+    tr.coalesce(1).write.mode("overwrite").parquet(stage)
+    out_dir = tempfile.mkdtemp(prefix="extract_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="extract_stream_ckpt_")
+    q = ST.stream_extract(
+        spark, stage, out_dir, ckpt, drawer_dict=[],
+        threshold=oracle_issuer.DEFAULT_THRESHOLD_V1,
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(out_dir).drop("batch_id", "main_text")
+
+
 def q_flagship_extract_v3(spark, sf_dir):
     from cheque_ocr_project_spark.operators import extract as X
 
@@ -3390,6 +3422,9 @@ REGISTRY: dict[str, tuple] = {
     "media_resize": (q_media_resize, sql_media_resize),
     "flagship_extract": (q_flagship_extract, None),
     "flagship_nofuzzy": (q_flagship_nofuzzy, _sql_flagship_nofuzzy),
+    "streaming_extract_nofuzzy": (
+        q_streaming_extract_nofuzzy, _sql_flagship_nofuzzy
+    ),
     "flagship_extract_v3": (q_flagship_extract_v3, None),
     "flagship_v3_nofuzzy": (q_flagship_v3_nofuzzy, _sql_flagship_v3_nofuzzy),
     "variant_keep_best": (q_variant_keep_best, sql_variant_keep_best),
@@ -3416,6 +3451,7 @@ _CHECK_FIRST = (
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
     "minhash_incremental", "simhash_incremental", "dedup_survivors",
+    "streaming_extract_nofuzzy",
     # r05-unsampled (green r04)
     "event_status_gate", "event_stats", "json_props", "union_dedup",
     "last_tokens", "lev_match", "ann_topk", "minhash_near_dup",
