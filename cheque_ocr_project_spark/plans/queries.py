@@ -1206,6 +1206,36 @@ def _sql_minhash_incremental():
     )
 
 
+MINHASH_COMPACT_TABLE = "minhash_compact_idx"
+
+
+def q_minhash_compacted(spark, sf_dir):
+    """compact_index under the driver oracle: same three-way split as
+    q_minhash_incremental, but the delta is FOLDED into the bucketed
+    layout (compact_index) before probing — the probe runs entirely
+    against the compacted index, no delta join. Compaction is
+    semantics-preserving, so the oracle is the SAME cross-pair SQL; a
+    compaction that dropped, duplicated, or mis-bucketed rows would
+    break the hash match."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    originals = docs.filter(F.col("doc_id") < 1000000)
+    corpus = originals.filter(F.col("doc_id") % 2 == 0)
+    batch = originals.filter(F.col("doc_id") % 2 == 1)
+    probe = docs.filter(F.col("doc_id") >= 1000000)
+    t = MINHASH_COMPACT_TABLE
+    for suffix in ("", "__delta", "__compact", "__old"):
+        _drop_table_and_location(spark, f"{t}{suffix}")
+    DD.persist_minhash_index(corpus, t, "doc_id", "text", n_buckets=8)
+    DD.append_to_minhash_index(spark, batch, t, "doc_id", "text")
+    DD.compact_index(spark, t)
+    assert not spark.catalog.tableExists(f"{t}__delta")
+    return DD.incremental_minhash_pairs(
+        spark, probe, t, "doc_id", "text", threshold=0.5
+    )
+
+
 SIMHASH_CONTRACT_TABLE = "simhash_contract_idx"
 
 
@@ -3378,6 +3408,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_near_dup": (q_simhash_near_dup, _sql_simhash_near_dup),
     "minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental),
     "simhash_incremental": (q_simhash_incremental, _sql_simhash_incremental),
+    "minhash_compacted": (q_minhash_compacted, _sql_minhash_incremental),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
     "dedup_survivors": (q_dedup_survivors, _sql_dedup_survivors),
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
@@ -3450,8 +3481,8 @@ REGISTRY: dict[str, tuple] = {
 _CHECK_FIRST = (
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
-    "minhash_incremental", "simhash_incremental", "dedup_survivors",
-    "streaming_extract_nofuzzy",
+    "minhash_incremental", "simhash_incremental", "minhash_compacted",
+    "dedup_survivors", "streaming_extract_nofuzzy",
     # r05-unsampled (green r04)
     "event_status_gate", "event_stats", "json_props", "union_dedup",
     "last_tokens", "lev_match", "ann_topk", "minhash_near_dup",
