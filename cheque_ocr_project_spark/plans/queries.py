@@ -788,6 +788,100 @@ FROM (
 WHERE rn <= {TFIDF_TOPK}"""
 
 
+BOILER_N = 5
+BOILER_MIN_DOCS = 2  # binds at sf0.01: 1096 of 23995 distinct 5-grams are
+                     # shared (max doc_freq 3); production sets this high
+                     # (50+) — the threshold is the only tuning knob
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate detection — the cross-document companion
+    of the per-doc repetition gates: per-document count of word 5-grams
+    that also appear in other documents (doc_freq >= BOILER_MIN_DOCS).
+    High boiler_grams/n_grams marks template/navigation text a training
+    pipeline strips before tokenization.
+
+    Scale shape mirrors tfidf_topk's audited two-agg discipline: explode
+    → DISTINCT (doc_id, gram) so intra-doc repeats count once → doc_freq
+    agg on gram (map-side combined, a hot template gram collapses before
+    its shuffle) → join the SMALL filtered boilerplate set back (shared
+    grams only — broadcast-able; the skewed-gram probe rides AQE
+    skew-join like tfidf's term join) → two per-doc aggs. Counts only,
+    no division: exact integers carry no rounding-dialect risk, callers
+    derive whatever ratio they gate on."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") >= BOILER_N)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {BOILER_N - 1}), "
+                f"i -> array_join(slice(toks, i, {BOILER_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        grams.join(boiler, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("boiler_grams"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("boiler_grams", F.lit(0)).cast("long").alias(
+            "boiler_grams"
+        ),
+    )
+
+
+def sql_boilerplate_ngrams():
+    # range(a, b) is exclusive of b and t[i:i+k] is inclusive in DuckDB,
+    # so range(1, len-(N-2)) x t[i:i+(N-1)] yields exactly the Spark
+    # sequence(1, size-(N-1)) x slice(toks, i, N) gram set
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+), eligible AS (
+  SELECT doc_id, t FROM toks WHERE len(t) >= {BOILER_N}
+), grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {BOILER_N - 2}),
+                  i -> array_to_string(t[i:i+{BOILER_N - 1}], ' '))) AS gram
+    FROM eligible)
+), boiler AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS doc_freq FROM grams GROUP BY gram
+  ) WHERE doc_freq >= {BOILER_MIN_DOCS}
+), totals AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), hits AS (
+  SELECT g.doc_id, count(*) AS boiler_grams
+  FROM grams g JOIN boiler b USING (gram) GROUP BY g.doc_id
+)
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.boiler_grams, 0) AS BIGINT) AS boiler_grams
+FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id"""
+
+
 def q_lang_id(spark, sf_dir):
     tokens = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
     stop_hits = F.size(F.filter(tokens, lambda w: w.isin(*_STOPWORDS)))
@@ -3419,6 +3513,7 @@ REGISTRY: dict[str, tuple] = {
     "rep_dup_lines": (q_rep_dup_lines, SQL_REP_DUP_LINES),
     "pii_redact": (q_pii_redact, sql_pii_redact),
     "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, sql_boilerplate_ngrams),
     "doclen_quantiles": (q_doclen_quantiles, sql_doclen_quantiles),
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "vocab_topk": (q_vocab_topk, sql_vocab_topk),
@@ -3482,7 +3577,7 @@ _CHECK_FIRST = (
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
     "minhash_incremental", "simhash_incremental", "minhash_compacted",
-    "dedup_survivors", "streaming_extract_nofuzzy",
+    "dedup_survivors", "streaming_extract_nofuzzy", "boilerplate_ngrams",
     # r05-unsampled (green r04)
     "event_status_gate", "event_stats", "json_props", "union_dedup",
     "last_tokens", "lev_match", "ann_topk", "minhash_near_dup",
