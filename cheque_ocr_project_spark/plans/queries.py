@@ -3568,11 +3568,13 @@ REGISTRY: dict[str, tuple] = {
 # Registry order = driver sampling order (the driver checks the first 50).
 # Rotated each round so every oracle-backed query gets a green driver row
 # within a trailing two-round window (VERDICT r05 #7): round 6 leads with
-# the round-6 additions (never driver-checked), then the 37 oracle-backed
-# queries the r05 sample missed (all r04-green). 39 entries: the 50-query
-# sample covers all of these plus 11 r05-greens; the remaining r05-greens
-# stay inside the trailing two-round window, so union(r05, r06) covers
-# every oracle-backed query.
+# the nine round-6 additions (never driver-checked), then the 37
+# oracle-backed queries the r05 sample missed (all r04-green). 46
+# entries: the 50-query sample covers all of these plus 4 r05-greens;
+# the remaining r05-greens stay inside the trailing two-round window, so
+# union(r05, r06) covers every oracle-backed query (asserted by the
+# coverage check run each round; 0 uncovered at 96 registered / 94
+# oracle-backed).
 _CHECK_FIRST = (
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",

@@ -767,3 +767,22 @@ def test_dedup_survivors_tiebreak_and_no_window(spark):
     assert got[3].survivor_id == 3          # tie -> MIN id, never 5 or 9
     assert got[3].survivor_len == len(base)
     assert got[42].n_members == 1 and got[42].survivor_id == 42
+
+
+def test_boilerplate_ngrams_plan_pruned_no_window(spark):
+    """boilerplate_ngrams must read only (doc_id, text) from the scan and
+    never plan a ranking window — its hot-gram handling is the two-agg
+    shape plus AQE skew-join, same audit as tfidf_topk."""
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    df = Q.queries()["boilerplate_ngrams"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan, plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all(
+        "lang" not in s and "source" not in s and "n_chars" not in s
+        for s in schemas
+    ), schemas
+    assert df.count() > 0
