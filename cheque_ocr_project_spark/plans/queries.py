@@ -808,7 +808,15 @@ def q_boilerplate_ngrams(spark, sf_dir):
     grams only — broadcast-able; the skewed-gram probe rides AQE
     skew-join like tfidf's term join) → two per-doc aggs. Counts only,
     no division: exact integers carry no rounding-dialect risk, callers
-    derive whatever ratio they gate on."""
+    derive whatever ratio they gate on.
+
+    100 TB note: the shuffle key here is the raw 5-gram STRING (~30-60
+    bytes); a production run hashes it to int64 first (xxhash64 —
+    collisions only merge counts, never lose documents) cutting shuffle
+    bytes several-fold. Kept as strings in the contract query because
+    DuckDB has no xxhash64 and the polyhash twin would force an Arrow
+    stage into an otherwise pure-JVM plan — the oracle checks the
+    semantics; the hash is a mechanical key substitution."""
     toks = (
         _docs(spark, sf_dir)
         .select(
