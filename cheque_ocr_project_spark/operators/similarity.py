@@ -279,3 +279,92 @@ def cosine_near_dup_pairs(spark: SparkSession, emb: DataFrame, dim: int,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-step Lloyd refinement over hash-sampled pivots
+# ---------------------------------------------------------------------------
+
+KM_OFFSET = 1 << 24  # micros offset making centroid numerators non-negative
+                     # (covers |component| < 16.7 embedding units)
+
+
+def kmeans_refine(emb: DataFrame, n_pivots: int = 8, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """One deterministic Lloyd iteration over ``ivf_pivots``' hash-sampled
+    seeds — the cell-balance refinement ivf_pivots' docstring
+    intentionally omits from the IVF index, surfaced as its own operator
+    (k-means corpus clustering is the standard scaffold for
+    diversity-stratified training-data sampling). Returns
+    ``(vec_id, cluster0, cluster1, moved)``: the seed assignment, the
+    assignment after recomputing centroids, and whether the vector moved.
+
+    Exactness: every distance and centroid is computed in integer
+    micros. Float centroid means would be partition-order dependent
+    (summation order); integer sums are exact, and the floor-divided
+    mean is computed in offset space — ``(sum + cnt*OFF) div cnt - OFF``
+    with a non-negative numerator — the one form on which Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree for negative
+    sums. ``cnt * OFF`` bounds the exact path at ~5.5e11 members per
+    cluster; past that, average per-partition partials first. Ties
+    break on the smaller cluster id on both sides. Empty refined
+    clusters (a seed that attracts no members) simply field no
+    candidates in the re-assignment, exactly as in both engines.
+
+    Scale shape: seed assignment is a broadcast cross join (k rows) +
+    a min(struct) agg — map-side combinable, no window; the assignment
+    joins back to the corpus BEFORE the dim explode so the shuffle
+    carries n rows, not n*64; centroid agg is map-side combined down to
+    k*dim rows and broadcasts back; re-assignment cost n*dim*k is the
+    inherent Lloyd work, re-combined map-side twice (per (vec,cluster),
+    then argmin per vec)."""
+    dist0 = F.expr(
+        f"""aggregate(
+          zip_with({vec_col}, pvec, (x, y) ->
+            (CAST(floor(x * 1000000.0) AS BIGINT)
+             - CAST(floor(y * 1000000.0) AS BIGINT))
+            * (CAST(floor(x * 1000000.0) AS BIGINT)
+               - CAST(floor(y * 1000000.0) AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+    )
+    pivots = ivf_pivots(emb, n_pivots, id_col, vec_col)
+    assign0 = (
+        emb.crossJoin(F.broadcast(pivots))
+        .select(id_col, "pivot_id", dist0.alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "pivot_id")).alias("m"))
+        .select(id_col, F.col("m.pivot_id").alias("cluster0"))
+    )
+    dims = (
+        emb.join(assign0, id_col)
+        .select(id_col, "cluster0", F.posexplode(vec_col).alias("dim", "val"))
+        .select(
+            id_col, "cluster0", "dim",
+            F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("pm"),
+        )
+    )
+    cent = (
+        dims.groupBy("cluster0", "dim")
+        .agg(F.sum("pm").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("cluster0").alias("cluster"), "dim",
+            F.expr(f"(s + cnt * {KM_OFFSET}) div cnt - {KM_OFFSET}")
+            .alias("cm"),
+        )
+    )
+    assign1 = (
+        dims.join(F.broadcast(cent), "dim")
+        .select(
+            id_col, "cluster",
+            F.expr("(pm - cm) * (pm - cm)").alias("sq"),
+        )
+        .groupBy(id_col, "cluster")
+        .agg(F.sum("sq").alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select(id_col, F.col("m.cluster").alias("cluster1"))
+    )
+    return assign0.join(assign1, id_col).select(
+        id_col, "cluster0", "cluster1",
+        (F.col("cluster0") != F.col("cluster1")).alias("moved"),
+    )

@@ -890,6 +890,202 @@ SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
 FROM totals t LEFT JOIN hits h ON h.doc_id = t.doc_id"""
 
 
+SPAN_W = 4           # words per non-overlapping tile
+SPAN_MIN_DOCS = 2    # a tile in >= 2 documents is boilerplate
+                     # (binds at sf0.01: 341 of 6544 distinct tiles)
+
+
+def q_remove_boilerplate(spark, sf_dir):
+    """The removal stage boilerplate_ngrams only detects: tile each
+    document into non-overlapping SPAN_W-word spans, drop every span
+    whose text appears in >= SPAN_MIN_DOCS distinct documents, and
+    reassemble the surviving spans in order (the CCNet/RefinedWeb-style
+    shared-span dedup a training pipeline runs before tokenization;
+    graft analog of the reference's junk-segment removal,
+    issuer_processor_v.py:208-218 applied corpus-wide).
+
+    Scale shape follows boilerplate_ngrams' audited discipline: explode
+    to spans once → DISTINCT (doc_id, span) before the doc_freq agg
+    (map-side combined; a hot template span collapses before its
+    shuffle) → anti-join the boilerplate set back (high-df by
+    definition, so FAR smaller than the corpus — AQE broadcasts it when
+    it fits, skew-join covers a hot span otherwise) → per-doc reassembly
+    via sort_array over (idx, span) structs, NEVER a window (a
+    collect_list + sort_array agg is map-side partial-aggregatable and
+    has no whale-partition sort; span order inside one doc is bounded by
+    doc length). Final left joins restore zero-token docs with
+    n_spans=0 and empty text_clean."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+        ).alias("t"),
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard size >= 1
+    spans = toks.filter(F.size("t") >= 1).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(size(t) / {SPAN_W}.0) AS INT)), "
+                f"i -> array_join(slice(t, (i-1)*{SPAN_W}+1, {SPAN_W}), ' '))"
+            )
+        ).alias("idx", "span"),
+    )
+    boiler = (
+        spans.select("doc_id", "span").distinct()
+        .groupBy("span").agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= SPAN_MIN_DOCS)
+        .select("span")
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    kept = (
+        spans.join(boiler, "span", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                    lambda s: s.getField("span"),
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        _docs(spark, sf_dir).select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("kept_spans", F.lit(0)).cast("long").alias("kept_spans"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def sql_remove_boilerplate():
+    # parallel unnests zip in DuckDB; range(0, n) is exclusive and
+    # t[a:b] is 1-based inclusive, so i in 0..n-1 with t[i*W+1 : i*W+W]
+    # tiles exactly like Spark's sequence(1, n) x slice(t, (i-1)*W+1, W)
+    w = SPAN_W
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+), sp AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(t) / {w}.0) AS INT))) AS idx,
+         unnest(list_transform(range(0, CAST(ceil(len(t) / {w}.0) AS INT)),
+                i -> array_to_string(t[i*{w}+1:i*{w}+{w}], ' '))) AS span
+  FROM t WHERE len(t) >= 1
+), boiler AS (
+  SELECT span FROM (
+    SELECT span, count(*) AS doc_freq
+    FROM (SELECT DISTINCT doc_id, span FROM sp) GROUP BY span
+  ) WHERE doc_freq >= {SPAN_MIN_DOCS}
+), totals AS (
+  SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id
+), kept AS (
+  SELECT doc_id, count(*) AS kept_spans,
+         string_agg(span, ' ' ORDER BY idx) AS text_clean
+  FROM sp ANTI JOIN boiler USING (span) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(tt.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(k.kept_spans, 0) AS BIGINT) AS kept_spans,
+       coalesce(k.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN totals tt ON tt.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id"""
+
+
+COLLOC_K = 20
+
+
+def q_collocations_topk(spark, sf_dir):
+    """Corpus collocations: top-K adjacent word pairs by lift — the
+    phrase-mining companion of vocab_topk (a tokenizer-vocabulary build
+    promotes high-lift bigrams to merge candidates). Lift is kept as an
+    exact integer ppm ratio, pair_cnt * N_tokens * 1e6 div (c1 * c2) —
+    rounding-free like tfidf_topk's integer-micros score (libm log, the
+    usual PMI formulation, is NOT bit-identical across engines).
+
+    Scale shape: unigram and bigram counts are both map-side-combined
+    aggs over one explode each; the unigram relation is vocabulary-sized
+    and joins back broadcast; the corpus total rides a 1-row broadcast
+    cross join; the final top-K is orderBy+limit — a distributed
+    TakeOrderedAndProject, never a global sort. Overflow bound: the
+    int64 numerator needs pair_cnt * N_tokens <= 9.2e12 (safe through
+    ~3e6-token hot pairs at 3e6 total); past that, pre-scale the
+    divisor exactly as source_token_budget does."""
+    toks = _docs(spark, sf_dir).select(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+        ).alias("t")
+    )
+    # element_at is 1-based on both engines (Spark t[i] would be 0-based)
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("total"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    scored = (
+        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                       F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                     F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            F.expr(
+                "CAST((pair_cnt * total * 1000000) div (c1 * c2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("bigram").asc()
+    ).limit(COLLOC_K)
+
+
+def sql_collocations_topk():
+    return f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+), pr AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+  FROM t WHERE len(t) >= 2
+), uni AS (
+  SELECT unnest(t) AS w FROM t
+), uc AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM uni
+), bi AS (
+  SELECT w1, w2, count(*) AS pair_cnt FROM pr GROUP BY w1, w2
+)
+SELECT bi.w1 || ' ' || bi.w2 AS bigram,
+       CAST(bi.pair_cnt AS BIGINT) AS pair_cnt,
+       CAST((bi.pair_cnt * n.total * 1000000) // (u1.c * u2.c) AS BIGINT)
+         AS lift_ppm
+FROM bi, n
+JOIN uc u1 ON u1.w = bi.w1
+JOIN uc u2 ON u2.w = bi.w2
+ORDER BY lift_ppm DESC, bigram ASC LIMIT {COLLOC_K}"""
+
+
 def q_lang_id(spark, sf_dir):
     tokens = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0))
     stop_hits = F.size(F.filter(tokens, lambda w: w.isin(*_STOPWORDS)))
@@ -1628,6 +1824,99 @@ def _sql_embedding_lsh_near_dup():
     return similarity_sql.sql_embedding_lsh_near_dup(
         dim=64, threshold=0.3, n_planes=12, n_bands=6
     )
+
+
+def q_kmeans_refine(spark, sf_dir):
+    """One deterministic Lloyd step over the IVF seed pivots — see
+    operators/similarity.kmeans_refine."""
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    return SIM.kmeans_refine(_embeddings(spark, sf_dir), n_pivots=8)
+
+
+def _sql_kmeans_refine():
+    from cheque_ocr_project_spark.plans import similarity_sql
+
+    return similarity_sql.sql_kmeans_refine(n_pivots=8)
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 per-dimension embedding quantization QA — the compression
+    pass an ANN index build runs (IVF/PQ stores code books, serving
+    needs the reconstruction-error audit this query produces): scale
+    each dimension to 0..255 against its corpus min/max and report the
+    per-vector L1 and max reconstruction error.
+
+    Everything downstream of the initial float->micros floor is exact
+    int64 (quantize, reconstruct, error), so the oracle comparison is
+    bit-equal — a float codebook would hit the cross-engine rounding
+    dialects tfidf_topk documents. All integer divisions here have
+    non-negative operands (q and pm-mn are >= 0 by construction), the
+    one precondition under which Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree.
+
+    Scale shape: one explode to (vec, dim, micros); the per-dim
+    min/max agg is map-side combined down to n_dims rows and joins
+    back BROADCAST (64 rows); the final per-vector error agg
+    re-combines map-side. Two shuffles total, both on high-cardinality
+    keys, no windows, no skew exposure (dim is uniform by
+    construction)."""
+    emb = _embeddings(spark, sf_dir)
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("pm"),
+    )
+    ranges = dims.groupBy("dim").agg(
+        F.min("pm").alias("mn"), F.max("pm").alias("mx")
+    )
+    err = (
+        dims.join(F.broadcast(ranges), "dim")
+        .select(
+            "vec_id",
+            F.expr(
+                "((pm - mn) * 255) div greatest(mx - mn, 1)"
+            ).alias("q"),
+            "pm", "mn", "mx",
+        )
+        .select(
+            "vec_id",
+            F.expr("abs(pm - (mn + (q * (mx - mn)) div 255))").alias("e"),
+        )
+    )
+    return err.groupBy("vec_id").agg(
+        F.sum("e").cast("long").alias("q_err_l1_micros"),
+        F.max("e").cast("long").alias("q_err_max_micros"),
+    )
+
+
+def sql_embedding_quantize():
+    # CAST(val AS DOUBLE) before the multiply: a bare `val * 1000000.0`
+    # pairs FLOAT with DECIMAL in DuckDB and rounds at float32 precision,
+    # drifting the floor by 1 at ulp boundaries (same trap the QUANT
+    # macro in similarity_sql.py documents); Spark promotes float*double
+    # to double, so the explicit cast makes both engines identical.
+    return """
+WITH raw AS (
+  SELECT vec_id,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, dim, CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT) AS pm FROM raw
+), r AS (
+  SELECT dim, min(pm) AS mn, max(pm) AS mx FROM dims GROUP BY dim
+), e AS (
+  SELECT d.vec_id,
+         abs(d.pm - (r.mn + ((((d.pm - r.mn) * 255) // greatest(r.mx - r.mn, 1))
+                             * (r.mx - r.mn)) // 255)) AS e
+  FROM dims d JOIN r USING (dim)
+)
+SELECT vec_id,
+       CAST(sum(e) AS BIGINT) AS q_err_l1_micros,
+       CAST(max(e) AS BIGINT) AS q_err_max_micros
+FROM e GROUP BY vec_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -2764,6 +3053,119 @@ SELECT conv_id,
 FROM t GROUP BY conv_id"""
 
 
+REP_TURN_CHUNK = 4096  # turn_idx div 4096 bounds every lag partition
+
+
+def turn_repetition_chunked(tr: DataFrame,
+                            chunk_sz: int = REP_TURN_CHUNK) -> DataFrame:
+    """Degenerate-loop detection over transcripts: per conversation, the
+    token-set Jaccard overlap between each turn and its predecessor —
+    the agent-transcript analog of rep_dup_lines (an assistant stuck
+    re-emitting the same turn shows rep_ppm pinned near 1e6, and a
+    training pipeline drops or truncates such conversations). Counts
+    and the ppm ratio are exact integers; only turns with a
+    predecessor are emitted.
+
+    Scale shape: conv_id is LOW-cardinality by construction (the
+    documents_as_transcripts split yields ~#sources conversations), so
+    a lag window partitioned by conv_id alone would pin an entire
+    conversation into one sort task — the whale shape
+    sessionize_chunked exists to kill. Same two-pass cure: lag within
+    bounded (conv_id, turn_idx-chunk) partitions; each chunk's LAST
+    token set is computed as a full-frame window in the SAME stage
+    (asof_join_chunked's c_full trick — a groupBy branch would not
+    ReuseExchange) and carried to the next non-empty chunk's first turn
+    via a lag over the small per-chunk summary relation. The final
+    equi-join is on (conv_id, chunk), the partitioning the intra
+    window already established."""
+    from pyspark.sql import Window
+
+    toks = F.array_distinct(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit("[a-z]+"), F.lit(0),
+        )
+    )
+    t = tr.select("conv_id", "turn_idx", toks.alias("toks")).select(
+        "conv_id", "turn_idx", "toks",
+        # non-nullable chunk: see sessionize_chunked (ReuseExchange)
+        F.coalesce(F.expr(f"turn_idx div {chunk_sz}"), F.lit(-1)).alias("chunk"),
+    )
+    base = Window.partitionBy("conv_id", "chunk").orderBy(
+        F.col("turn_idx").asc()
+    )
+    staged = t.select(
+        "conv_id", "turn_idx", "chunk", "toks",
+        F.lag("toks").over(base).alias("prev_intra"),
+        F.last("toks").over(
+            base.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+        ).alias("chunk_last"),
+    )
+    ws = Window.partitionBy("conv_id").orderBy(F.col("chunk").asc())
+    summary = (
+        staged.select("conv_id", "chunk", "chunk_last").distinct()
+        .select(
+            "conv_id", "chunk",
+            F.lag("chunk_last").over(ws).alias("carry_toks"),
+        )
+    )
+    joined = staged.join(summary, ["conv_id", "chunk"])
+    prev = F.coalesce(F.col("prev_intra"), F.col("carry_toks"))
+    # toks is never null (text is coalesced), so a null lag value means
+    # exactly "no predecessor in this chunk" — no flag column needed
+    out = joined.filter(prev.isNotNull()).select(
+        "conv_id", "turn_idx",
+        F.size(F.array_intersect(F.col("toks"), prev))
+        .cast("long").alias("inter_toks"),
+        F.size(F.array_union(F.col("toks"), prev))
+        .cast("long").alias("union_toks"),
+    )
+    return out.select(
+        "conv_id", "turn_idx", "inter_toks", "union_toks",
+        F.expr(
+            "CAST((inter_toks * 1000000) div greatest(union_toks, 1) AS BIGINT)"
+        ).alias("rep_ppm"),
+    )
+
+
+def q_turn_repetition(spark, sf_dir):
+    tr = documents_as_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    return turn_repetition_chunked(tr)
+
+
+# the oracle is the NAIVE single-window lag — the chunked decomposition
+# must be bit-equal to it (same proof obligation as sessionize_chunked
+# vs SQL_SESSIONIZE); list inputs are distinct so
+# |a ∪ b| = |a| + |b| - |a ∩ b|
+SQL_TURN_REPETITION = """
+WITH tr AS (
+  SELECT source || '-' || CAST(doc_id // 2147483648 AS VARCHAR) AS conv_id,
+         CAST(doc_id % 2147483648 AS INT) AS turn_idx,
+         list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z]+')) AS toks
+  FROM documents
+), l AS (
+  SELECT conv_id, turn_idx, toks,
+         lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM tr
+), m AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(toks, x -> list_contains(prev, x))) AS inter_toks,
+         len(toks) + len(prev)
+           - len(list_filter(toks, x -> list_contains(prev, x))) AS union_toks
+  FROM l WHERE prev IS NOT NULL
+)
+SELECT conv_id, turn_idx,
+       CAST(inter_toks AS BIGINT) AS inter_toks,
+       CAST(union_toks AS BIGINT) AS union_toks,
+       CAST((inter_toks * 1000000) // greatest(union_toks, 1) AS BIGINT)
+         AS rep_ppm
+FROM m"""
+
+
 def asof_join_chunked(ev: DataFrame,
                       chunk_us: int = SESSION_CHUNK_US) -> DataFrame:
     """As-of join as a two-pass running last: the carried latest-click
@@ -3550,6 +3952,11 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk),
     "ann_lsh_topk_capped": (q_ann_lsh_topk_capped, _sql_ann_lsh_topk_capped),
     "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk),
+    "kmeans_refine": (q_kmeans_refine, _sql_kmeans_refine),
+    "embedding_quantize": (q_embedding_quantize, sql_embedding_quantize),
+    "remove_boilerplate": (q_remove_boilerplate, sql_remove_boilerplate),
+    "collocations_topk": (q_collocations_topk, sql_collocations_topk),
+    "turn_repetition": (q_turn_repetition, SQL_TURN_REPETITION),
     "media_image_features": (q_media_image_features, _sql_media_image_features),
     "media_audio_features": (q_media_audio_features, _sql_media_audio_features),
     "media_frame_sample": (q_media_frame_sample, _sql_media_frame_sample),
@@ -3578,12 +3985,17 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window (VERDICT r05 #7): round 6 leads with
 # the nine round-6 additions (never driver-checked), then the 37
 # oracle-backed queries the r05 sample missed (all r04-green). 46
-# entries: the 50-query sample covers all of these plus 4 r05-greens;
-# the remaining r05-greens stay inside the trailing two-round window, so
-# union(r05, r06) covers every oracle-backed query (asserted by the
-# coverage check run each round; 0 uncovered at 96 registered / 94
-# oracle-backed).
+# entries plus the five second-wave additions = 51: one more than the
+# 50-query sample, so exactly one entry must wait a round. That slot is
+# deliberately `media_resize` (placed 51st): its three multimodal
+# siblings stay in the sample and exercise the same media plumbing, it
+# was green in r04, and it leads the r07 rotation. Every other
+# oracle-backed query is covered by union(r05, r06)
+# (101 registered / 99 oracle-backed).
 _CHECK_FIRST = (
+    # round-6 second-wave additions, never sampled
+    "turn_repetition", "remove_boilerplate", "collocations_topk",
+    "embedding_quantize", "kmeans_refine",
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
     "minhash_incremental", "simhash_incremental", "minhash_compacted",
@@ -3595,11 +4007,13 @@ _CHECK_FIRST = (
     "winnow_fingerprint", "train_val_split", "stratified_sample",
     "gopher_quality", "rep_top_bigram", "asof_join", "sessionize",
     "event_rollup", "decontaminate", "pack_sequences",
-    "media_audio_features", "media_frame_sample", "media_resize",
+    "media_audio_features", "media_frame_sample",
     "flagship_nofuzzy", "flagship_v3_nofuzzy", "variant_keep_best",
     "zero_shot_classify", "qa_extract", "t5_spell", "model_ensemble",
     "clean_text_v3", "junk_v3", "remove_prefixes", "issuer_for_grammar",
     "issuer_auth_account_grammar", "issuer_simple",
+    # 51st — the one documented carry-over to the r07 lead (see above)
+    "media_resize",
 )
 
 

@@ -167,3 +167,61 @@ scored AS (
   JOIN embeddings eb ON eb.vec_id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}"""
+
+
+def sql_kmeans_refine(n_pivots: int = 8) -> str:
+    """Twin of similarity.kmeans_refine: identical hash-sampled seeds,
+    integer-micros distances, and offset floor-div centroids. DuckDB's
+    sum(BIGINT) widens to HUGEINT, so the centroid mean and every
+    squared-distance comparison happen in HUGEINT there — values are far
+    below either bound, and cm is cast back to BIGINT to match Spark."""
+    off = SIM.KM_OFFSET
+    return f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pvec FROM embeddings
+  ORDER BY ((vec_id % {SIM.IVF_PIVOT_MOD}) * {SIM.IVF_PIVOT_MIX})
+             % {SIM.IVF_PIVOT_MOD} ASC, vec_id ASC
+  LIMIT {n_pivots}
+), vd0 AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+), vd AS (
+  SELECT vec_id, dim, CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT) AS pm FROM vd0
+), pd0 AS (
+  SELECT pivot_id, unnest(range(1, len(pvec) + 1)) AS dim,
+         unnest(pvec) AS val
+  FROM pivots
+), pd AS (
+  SELECT pivot_id, dim, CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT) AS pm FROM pd0
+), d0 AS (
+  SELECT v.vec_id, p.pivot_id,
+         sum((v.pm - p.pm) * (v.pm - p.pm)) AS dist
+  FROM vd v JOIN pd p USING (dim) GROUP BY v.vec_id, p.pivot_id
+), a0 AS (
+  SELECT vec_id, pivot_id AS cluster0 FROM (
+    SELECT vec_id, pivot_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, pivot_id ASC) AS rn
+    FROM d0
+  ) WHERE rn = 1
+), cd AS (
+  SELECT a0.cluster0 AS cluster, vd.dim,
+         CAST((sum(vd.pm) + count(*) * {off}) // count(*) - {off} AS BIGINT)
+           AS cm
+  FROM vd JOIN a0 USING (vec_id) GROUP BY a0.cluster0, vd.dim
+), d1 AS (
+  SELECT vd.vec_id, cd.cluster,
+         sum((vd.pm - cd.cm) * (vd.pm - cd.cm)) AS dist
+  FROM vd JOIN cd USING (dim) GROUP BY vd.vec_id, cd.cluster
+), a1 AS (
+  SELECT vec_id, cluster AS cluster1 FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+)
+SELECT a0.vec_id, a0.cluster0, a1.cluster1,
+       a0.cluster0 <> a1.cluster1 AS moved
+FROM a0 JOIN a1 USING (vec_id)"""

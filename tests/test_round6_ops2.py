@@ -1,0 +1,316 @@
+"""Planted-positive + scale-mechanics tests for the round-6 second-wave
+operators: turn_repetition (chunked consecutive-turn Jaccard),
+remove_boilerplate (shared-span dedup + reassembly), collocations_topk
+(integer-lift bigrams), embedding_quantize (int8 QA), kmeans_refine
+(one deterministic Lloyd step).
+
+Oracle parity at sf0.01 is covered by test_driver_contract's sweep and
+the large-id fuzz auto-extends to these (they touch only fuzz tables);
+here we prove each operator BINDS (planted positives change the output)
+and that the scale-sensitive plans hold their shape.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cheque_ocr_project_spark.plans import queries as Q
+
+
+def _write_docs(tmp_path, rows):
+    """rows = [(doc_id, text, source)] -> documents.parquet dir."""
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df = df[["doc_id", "text", "lang", "source", "n_chars"]]
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# turn_repetition
+# ---------------------------------------------------------------------------
+
+def test_turn_repetition_identical_turn_pins_ppm(spark, tmp_path):
+    """An assistant re-emitting the same turn verbatim must show
+    rep_ppm == 1e6; a fully disjoint turn shows 0 — the planted
+    positives the degenerate-loop gate keys on."""
+    sf = _write_docs(tmp_path, [
+        (0, "alpha beta gamma", "convA"),
+        (1, "alpha beta gamma", "convA"),          # identical repeat
+        (2, "delta epsilon", "convA"),             # disjoint
+        (3, "alpha beta delta epsilon", "convA"),  # half overlap
+    ])
+    out = {
+        r["turn_idx"]: r
+        for r in Q.q_turn_repetition(spark, sf).collect()
+    }
+    assert set(out) == {1, 2, 3}  # turn 0 has no predecessor
+    assert (out[1]["inter_toks"], out[1]["union_toks"],
+            out[1]["rep_ppm"]) == (3, 3, 1_000_000)
+    assert (out[2]["inter_toks"], out[2]["rep_ppm"]) == (0, 0)
+    assert (out[3]["inter_toks"], out[3]["union_toks"]) == (2, 4)
+    assert out[3]["rep_ppm"] == 500_000
+
+
+def test_turn_repetition_chunked_matches_naive_across_gaps(spark):
+    """Force many chunk boundaries AND empty chunks (sparse turn_idx)
+    with chunk_sz=2; the two-pass decomposition must equal the naive
+    single-window lag computed in pandas."""
+    rng = np.random.RandomState(11)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    rows = []
+    for conv in ("c1", "c2"):
+        # sparse, gappy turn indexes: consecutive runs + long holes
+        idxs = sorted(rng.choice(200, size=40, replace=False).tolist())
+        for i in idxs:
+            text = " ".join(rng.choice(vocab, size=rng.randint(1, 6)))
+            rows.append((conv, i, text))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    got = (
+        Q.turn_repetition_chunked(sdf, chunk_sz=2)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        prev = None
+        for r in g.itertuples():
+            toks = set(r.text.split())
+            if prev is not None:
+                inter, union = len(toks & prev), len(toks | prev)
+                exp_rows.append(
+                    (conv, r.turn_idx, inter, union,
+                     inter * 1_000_000 // max(union, 1))
+                )
+            prev = toks
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["conv_id", "turn_idx", "inter_toks", "union_toks",
+                 "rep_ppm"],
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64"}),
+        exp.astype(
+            {c: "int64" for c in
+             ["turn_idx", "inter_toks", "union_toks", "rep_ppm"]}
+        ),
+    )
+
+
+def test_turn_repetition_whale_conversation_plan(spark, tmp_path):
+    """conv_id is low-cardinality by construction, so the big-side lag
+    must NEVER partition by conv_id alone: one 18k-turn conversation in
+    one task is the skew shape sessionize_chunked was built to kill.
+    Locks the single-scan ReuseExchange plan (AQE off, like
+    test_plan_shapes_hold) and checks correctness on the whale."""
+    n = 18_000
+
+    def letters(i):  # the tokenizer is [a-z]+, so digits would vanish
+        return "".join(chr(97 + int(d)) for d in str(i))
+
+    rows = [(i, f"{letters(i)} same same", "whale") for i in range(n)]
+    sf = _write_docs(tmp_path, rows)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = Q.q_turn_repetition(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1 and "ReusedExchange" in plan
+        # every window over the full input partitions by (conv, chunk);
+        # the only conv-only window is the per-chunk summary lag, which
+        # sits above the distinct (bounded at one row per chunk)
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        conv_only = [
+            s for s in specs
+            if "conv_id" in s and "chunk" not in s
+        ]
+        assert not conv_only, conv_only
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    out = df.toPandas()
+    assert len(out) == n - 1
+    # tok cycle of 7: a turn shares 'same' with its predecessor always,
+    # plus tok%d never (distinct i) -> inter==1, union==3
+    assert (out["inter_toks"] == 1).all() and (out["union_toks"] == 3).all()
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate
+# ---------------------------------------------------------------------------
+
+def test_remove_boilerplate_drops_shared_tile_keeps_unique(spark, tmp_path):
+    shared = "one two three four"          # exactly one SPAN_W tile
+    sf = _write_docs(tmp_path, [
+        (0, shared + " aaa bbb ccc ddd", "s"),
+        (1, shared + " eee fff ggg hhh", "s"),
+        (2, "iii jjj kkk lll", "s"),
+    ])
+    out = {r["doc_id"]: r for r in
+           Q.q_remove_boilerplate(spark, sf).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["kept_spans"] == 1
+    assert out[0]["text_clean"] == "aaa bbb ccc ddd"
+    assert out[1]["text_clean"] == "eee fff ggg hhh"
+    # unique doc untouched (already lowercase, one tile)
+    assert out[2]["n_spans"] == 1 and out[2]["kept_spans"] == 1
+    assert out[2]["text_clean"] == "iii jjj kkk lll"
+
+
+def test_remove_boilerplate_intra_doc_repeat_not_boilerplate(spark, tmp_path):
+    """doc_freq counts DISTINCT documents: a tile repeated inside one
+    document is repetition (rep_dup_lines' job), not cross-doc
+    boilerplate — it must survive here."""
+    tile = "ww xx yy zz"
+    sf = _write_docs(tmp_path, [
+        (0, tile + " " + tile, "s"),       # same tile twice, one doc
+        (1, "mm nn oo pp", "s"),
+    ])
+    out = {r["doc_id"]: r for r in
+           Q.q_remove_boilerplate(spark, sf).collect()}
+    assert out[0]["kept_spans"] == 2
+    assert out[0]["text_clean"] == tile + " " + tile
+
+
+def test_remove_boilerplate_plan_pruned_no_window(spark):
+    df = Q.queries()["remove_boilerplate"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan, plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all(
+        "lang" not in s and "source" not in s and "n_chars" not in s
+        for s in schemas
+    ), schemas
+    assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# collocations_topk
+# ---------------------------------------------------------------------------
+
+def test_collocations_planted_pair_ranks_first(spark, tmp_path):
+    """A pair whose words occur ONLY together maximizes lift — it must
+    rank first; filler pairs between common words rank below."""
+    filler = ("the cat the dog the cat the bird the cat the dog " * 5).strip()
+    sf = _write_docs(tmp_path, [
+        (0, filler + " zyx qwv", "s"),
+        (1, "zyx qwv " + filler, "s"),
+        (2, filler + " zyx qwv " + filler, "s"),
+    ])
+    rows = Q.q_collocations_topk(spark, sf).collect()
+    assert rows[0]["bigram"] == "zyx qwv"
+    assert rows[0]["pair_cnt"] == 3
+    lifts = [r["lift_ppm"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_collocations_plan_is_top_k_not_global_sort(spark):
+    df = Q.queries()["collocations_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(df.collect()) <= Q.COLLOC_K
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize
+# ---------------------------------------------------------------------------
+
+def _write_emb(tmp_path, vecs):
+    df = pd.DataFrame({
+        "vec_id": pd.array(range(len(vecs)), dtype="int64"),
+        "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+        "label": [0] * len(vecs),
+    })
+    df.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_embedding_quantize_extremes_and_constant_dim(spark, tmp_path):
+    """Dimension extremes reconstruct exactly (err 0); a constant
+    dimension hits the greatest(range,1) guard with err 0; interior
+    values match the integer formula replayed in Python over the same
+    float32->double promotion both engines use."""
+    vecs = [[0.5, 0.0], [0.5, 1.0], [0.5, 0.3]]
+    sf = _write_emb(tmp_path, vecs)
+    out = {r["vec_id"]: r for r in
+           Q.q_embedding_quantize(spark, sf).collect()}
+    assert out[0]["q_err_l1_micros"] == 0          # both dims exact
+    assert out[1]["q_err_l1_micros"] == 0          # max endpoint exact
+
+    pm = [math.floor(float(np.float32(v)) * 1e6) for v in (0.0, 1.0, 0.3)]
+    mn, mx = min(pm), max(pm)
+    p = pm[2]
+    q = (p - mn) * 255 // max(mx - mn, 1)
+    recon = mn + q * (mx - mn) // 255
+    assert out[2]["q_err_l1_micros"] == abs(p - recon)
+    assert out[2]["q_err_max_micros"] == abs(p - recon)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_refine
+# ---------------------------------------------------------------------------
+
+def test_kmeans_refine_moves_outlier_seed_point(spark, tmp_path):
+    """Plant a scenario where one Lloyd step provably re-assigns a
+    point: seed pivots land at 0.0 and 3.0 (we place the two
+    hash-minimal ids there), the mass sits at 10.0. After assignment,
+    cluster B's centroid is dragged to ~9.4, so the 3.0 seed itself is
+    now nearer cluster A's centroid (0.0) and must move; the 10.0 mass
+    must stay put and stay pure."""
+    from cheque_ocr_project_spark.operators.similarity import (
+        IVF_PIVOT_MIX, IVF_PIVOT_MOD, kmeans_refine,
+    )
+
+    ids = list(range(12))
+    ranked = sorted(ids, key=lambda i: ((i % IVF_PIVOT_MOD) * IVF_PIVOT_MIX)
+                    % IVF_PIVOT_MOD)
+    pivot_a, pivot_b = sorted(ranked[:2])  # tie-breaks favor smaller id
+    vals = {i: 10.0 for i in ids}
+    vals[pivot_a], vals[pivot_b] = 0.0, 3.0
+
+    df = pd.DataFrame({
+        "vec_id": pd.array(ids, dtype="int64"),
+        "embedding": [np.array([vals[i]], dtype="float32") for i in ids],
+        "label": [0] * len(ids),
+    })
+    df.to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["vec_id"]: r for r in
+           kmeans_refine(emb, n_pivots=2).collect()}
+    assert len(out) == len(ids)
+
+    seed_b = out[pivot_b]
+    assert seed_b["cluster0"] == pivot_b       # it IS pivot B
+    assert seed_b["cluster1"] == pivot_a       # dragged centroid expels it
+    assert bool(seed_b["moved"])
+
+    mass = [out[i] for i in ids if vals[i] == 10.0]
+    assert all(r["cluster0"] == pivot_b for r in mass)
+    assert all(r["cluster1"] == pivot_b and not r["moved"] for r in mass)
+    assert out[pivot_a]["cluster1"] == pivot_a
+
+
+def test_kmeans_refine_no_window_on_big_side(spark):
+    """Both argmins are min(struct) aggregates, never ranking windows —
+    the per-vector candidate set is bounded by k, but a row_number
+    window would still force a per-vec sort task; the agg form combines
+    map-side."""
+    df = Q.queries()["kmeans_refine"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "row_number" not in plan, plan
+    assert df.count() > 0
