@@ -1919,6 +1919,100 @@ SELECT vec_id,
 FROM e GROUP BY vec_id"""
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """Brute-force top-k over the int8 codes embedding_quantize
+    produces — the memory-compressed serving path (1 byte/dim instead
+    of 4; the search-over-codes half of a PQ index). Ranking is exact
+    integer squared-L2 over the RECONSTRUCTED micros, so quantization
+    error perturbs neighbor ranks exactly as it would in production
+    and the oracle comparison is bit-exact (no float summation
+    anywhere; DuckDB's sum->HUGEINT widening only ever feeds the
+    rank comparison).
+
+    Scale shape: per-dim ranges broadcast (n_dims rows); the
+    reconstructed query side (|Q| x n_dims rows) broadcasts into the
+    corpus-dims join; the distance agg is map-side combined per
+    (query, vec). The final window partitions by query_id over
+    corpus-sized candidate sets — the documented brute-force baseline
+    shape (same caveat as ann_topk); ann_lsh_topk / ann_ivf_topk are
+    the 100 TB paths, and their bucketing composes with these codes
+    unchanged."""
+    from pyspark.sql import Window
+
+    emb = _embeddings(spark, sf_dir)
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("pm"),
+    )
+    ranges = dims.groupBy("dim").agg(
+        F.min("pm").alias("mn"), F.max("pm").alias("mx")
+    )
+    recon = dims.join(F.broadcast(ranges), "dim").select(
+        "vec_id", "dim",
+        F.expr(
+            "mn + ((((pm - mn) * 255) div greatest(mx - mn, 1))"
+            " * (mx - mn)) div 255"
+        ).alias("rv"),
+    )
+    qd = recon.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("rv").alias("qr")
+    )
+    scored = (
+        recon.join(F.broadcast(qd), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.expr("(rv - qr) * (rv - qr)").alias("sq"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("sq").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "rn")
+    )
+
+
+def sql_ann_quantized_topk():
+    return """
+WITH raw AS (
+  SELECT vec_id,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT) AS pm
+  FROM raw
+), r AS (
+  SELECT dim, min(pm) AS mn, max(pm) AS mx FROM dims GROUP BY dim
+), recon AS (
+  SELECT d.vec_id, d.dim,
+         r.mn + ((((d.pm - r.mn) * 255) // greatest(r.mx - r.mn, 1))
+                 * (r.mx - r.mn)) // 255 AS rv
+  FROM dims d JOIN r USING (dim)
+), qd AS (
+  SELECT vec_id AS query_id, dim, rv AS qr FROM recon WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id, sum((c.rv - q.qr) * (c.rv - q.qr)) AS dist
+  FROM recon c JOIN qd q USING (dim)
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+)
+SELECT query_id, vec_id, rn FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (stubbed decode; rows-only checks)
 # ---------------------------------------------------------------------------
@@ -3166,6 +3260,51 @@ SELECT conv_id, turn_idx,
 FROM m"""
 
 
+LOOP_PPM = 750_000   # a turn repeating >= 75% of the merged token set
+LOOP_FRAC_PCT = 30   # flag when > 30% of scored turns are repeats
+                     # (thresholds bind at sf0.01: 12 of 20 convs flag)
+
+
+def q_loop_flagged_convs(spark, sf_dir):
+    """The gate turn_repetition feeds: a conversation where more than
+    LOOP_FRAC_PCT% of predecessor-scored turns repeat >= LOOP_PPM of
+    their merged token set is a degenerate loop — a training pipeline
+    drops or truncates it before packing. Cross-multiplied integer
+    comparison (loop_turns*100 > scored*PCT), no division at all.
+
+    Scale shape: one map-side-combined agg over turn_repetition's
+    chunk-safe output (conv_id is low-cardinality, but the agg rolls
+    up map-side before the tiny final exchange — aggregation tolerates
+    the low-card key that the lag window could not)."""
+    rep = q_turn_repetition(spark, sf_dir)
+    agg = rep.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("scored_turns"),
+        F.sum(
+            F.when(F.col("rep_ppm") >= LOOP_PPM, 1).otherwise(0)
+        ).alias("loop_turns"),
+    )
+    return agg.select(
+        "conv_id",
+        F.col("scored_turns").cast("long").alias("scored_turns"),
+        F.col("loop_turns").cast("long").alias("loop_turns"),
+        (F.col("loop_turns") * 100
+         > F.col("scored_turns") * LOOP_FRAC_PCT).alias("flagged"),
+    )
+
+
+def sql_loop_flagged_convs():
+    return f"""
+WITH rep AS ({SQL_TURN_REPETITION}
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS scored_turns,
+       CAST(sum(CASE WHEN rep_ppm >= {LOOP_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS loop_turns,
+       sum(CASE WHEN rep_ppm >= {LOOP_PPM} THEN 1 ELSE 0 END) * 100
+         > count(*) * {LOOP_FRAC_PCT} AS flagged
+FROM rep GROUP BY conv_id"""
+
+
 def asof_join_chunked(ev: DataFrame,
                       chunk_us: int = SESSION_CHUNK_US) -> DataFrame:
     """As-of join as a two-pass running last: the carried latest-click
@@ -3954,6 +4093,8 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk),
     "kmeans_refine": (q_kmeans_refine, _sql_kmeans_refine),
     "embedding_quantize": (q_embedding_quantize, sql_embedding_quantize),
+    "ann_quantized_topk": (q_ann_quantized_topk, sql_ann_quantized_topk),
+    "loop_flagged_convs": (q_loop_flagged_convs, sql_loop_flagged_convs),
     "remove_boilerplate": (q_remove_boilerplate, sql_remove_boilerplate),
     "collocations_topk": (q_collocations_topk, sql_collocations_topk),
     "turn_repetition": (q_turn_repetition, SQL_TURN_REPETITION),
@@ -3985,17 +4126,20 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window (VERDICT r05 #7): round 6 leads with
 # the nine round-6 additions (never driver-checked), then the 37
 # oracle-backed queries the r05 sample missed (all r04-green). 46
-# entries plus the five second-wave additions = 51: one more than the
-# 50-query sample, so exactly one entry must wait a round. That slot is
-# deliberately `media_resize` (placed 51st): its three multimodal
-# siblings stay in the sample and exercise the same media plumbing, it
-# was green in r04, and it leads the r07 rotation. Every other
-# oracle-backed query is covered by union(r05, r06)
-# (101 registered / 99 oracle-backed).
+# entries plus the seven second-wave additions = 53: three more than
+# the 50-query sample, so exactly three entries must wait a round. The
+# slots are deliberate (placed 51st-53rd): `media_resize` (its three
+# multimodal siblings stay sampled and exercise the same plumbing),
+# and `qa_extract`/`t5_spell` (env-blocked deterministic fallbacks
+# whose U-family siblings zero_shot_classify/model_ensemble/
+# ner_entities stay sampled). All three were green in r04 and lead the
+# r07 rotation. Every other oracle-backed query is covered by
+# union(r05, r06) (103 registered / 101 oracle-backed).
 _CHECK_FIRST = (
     # round-6 second-wave additions, never sampled
     "turn_repetition", "remove_boilerplate", "collocations_topk",
-    "embedding_quantize", "kmeans_refine",
+    "embedding_quantize", "kmeans_refine", "ann_quantized_topk",
+    "loop_flagged_convs",
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
     "minhash_incremental", "simhash_incremental", "minhash_compacted",
@@ -4009,11 +4153,11 @@ _CHECK_FIRST = (
     "event_rollup", "decontaminate", "pack_sequences",
     "media_audio_features", "media_frame_sample",
     "flagship_nofuzzy", "flagship_v3_nofuzzy", "variant_keep_best",
-    "zero_shot_classify", "qa_extract", "t5_spell", "model_ensemble",
+    "zero_shot_classify", "model_ensemble",
     "clean_text_v3", "junk_v3", "remove_prefixes", "issuer_for_grammar",
     "issuer_auth_account_grammar", "issuer_simple",
-    # 51st — the one documented carry-over to the r07 lead (see above)
-    "media_resize",
+    # 51st-53rd — the three documented carry-overs to the r07 lead
+    "media_resize", "qa_extract", "t5_spell",
 )
 
 

@@ -314,3 +314,54 @@ def test_kmeans_refine_no_window_on_big_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "row_number" not in plan, plan
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# ann_quantized_topk
+# ---------------------------------------------------------------------------
+
+def test_ann_quantized_planted_nearest_neighbor(spark, tmp_path):
+    """A corpus vector sitting on top of a query must rank 1 even after
+    int8 quantization; a far vector must rank last of the three."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(8).astype("float32")
+    vecs = [
+        base,                                    # vec 0: the query (<5)
+        base + np.float32(1e-3),                 # vec 5: near-identical
+        (base + 5.0).astype("float32"),          # vec 6: far
+        rng.randn(8).astype("float32") + 2.0,    # vec 7: medium
+    ]
+    df = pd.DataFrame({
+        "vec_id": pd.array([0, 5, 6, 7], dtype="int64"),
+        "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+        "label": [0] * 4,
+    })
+    df.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    out = Q.q_ann_quantized_topk(spark, str(tmp_path)).collect()
+    by_rank = {r["rn"]: r["vec_id"] for r in out if r["query_id"] == 0}
+    assert by_rank[1] == 5
+    assert by_rank[3] == 6
+    # self is excluded
+    assert all(r["vec_id"] != 0 for r in out if r["query_id"] == 0)
+
+
+# ---------------------------------------------------------------------------
+# loop_flagged_convs
+# ---------------------------------------------------------------------------
+
+def test_loop_gate_bites_on_degenerate_conversation(spark, tmp_path):
+    """A conversation that keeps re-emitting the same turn must flag;
+    a conversation of fully disjoint turns must not."""
+    loop_turns = [(i, "please try the same fix again", "loopy")
+                  for i in range(6)]
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    varied_turns = [
+        (100 + i, f"{vocab[i]} {vocab[(i + 1) % 8]}qq", "varied")
+        for i in range(6)
+    ]
+    sf = _write_docs(tmp_path, loop_turns + varied_turns)
+    out = {r["conv_id"]: r for r in
+           Q.q_loop_flagged_convs(spark, sf).collect()}
+    assert out["loopy-0"]["flagged"] and out["loopy-0"]["loop_turns"] == 5
+    assert not out["varied-0"]["flagged"]
+    assert out["varied-0"]["loop_turns"] == 0
