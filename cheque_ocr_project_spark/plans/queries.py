@@ -657,6 +657,74 @@ FROM (
 GROUP BY term ORDER BY n DESC, term ASC LIMIT {VOCAB_TOPK}"""
 
 
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage audit: per-document out-of-vocabulary token
+    count and exact integer ppm rate, against the same top-K vocabulary
+    head vocab_topk ships (count desc, term asc — the limit binds at 20
+    of 31 corpus terms at sf0.01, so OOV is non-trivial). The metric a
+    tokenizer build loops on: raise K or add merges until oov_ppm drops
+    below budget.
+
+    Scale shape: the vocabulary is a TakeOrderedAndProject (never a
+    global sort) and joins back BROADCAST (K rows) onto the exploded
+    token stream — a left join null-check, so no second shuffle on the
+    skewed term key; the per-doc agg re-combines map-side. ppm uses the
+    cross-multiplied integer form (oov * 1e6 div n), exact and safe to
+    ~9.2e12 tokens per document."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(VOCAB_TOPK)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left")
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+        ).alias("oov_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("oov_tokens").cast("long").alias("oov_tokens"),
+        F.expr(
+            "CAST((oov_tokens * 1000000) div greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )
+
+
+def sql_oov_rate():
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM toks GROUP BY term
+    ORDER BY n DESC, term ASC LIMIT {VOCAB_TOPK}
+  )
+), agg AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS oov_tokens
+  FROM toks t LEFT JOIN vocab v ON v.term = t.term
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(oov_tokens AS BIGINT) AS oov_tokens,
+       CAST((oov_tokens * 1000000) // greatest(n_tokens, 1) AS BIGINT)
+         AS oov_ppm
+FROM agg"""
+
+
 def q_source_token_budget(spark, sf_dir):
     """Training-mix accounting: per-source whitespace-token totals and
     the corpus share in integer parts-per-million. Overflow note: the
@@ -4066,6 +4134,7 @@ REGISTRY: dict[str, tuple] = {
     "doclen_quantiles": (q_doclen_quantiles, sql_doclen_quantiles),
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "vocab_topk": (q_vocab_topk, sql_vocab_topk),
+    "oov_rate": (q_oov_rate, sql_oov_rate),
     "source_token_budget": (q_source_token_budget, sql_source_token_budget),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
@@ -4126,20 +4195,21 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window (VERDICT r05 #7): round 6 leads with
 # the nine round-6 additions (never driver-checked), then the 37
 # oracle-backed queries the r05 sample missed (all r04-green). 46
-# entries plus the seven second-wave additions = 53: three more than
-# the 50-query sample, so exactly three entries must wait a round. The
-# slots are deliberate (placed 51st-53rd): `media_resize` (its three
-# multimodal siblings stay sampled and exercise the same plumbing),
+# entries plus the eight second-wave additions = 54: four more than
+# the 50-query sample, so exactly four entries must wait a round. The
+# slots are deliberate (placed 51st-54th): `media_resize` and
+# `media_frame_sample` (media_audio stays sampled and media_image was
+# green in r05 — the shared multimodal plumbing keeps a fresh row),
 # and `qa_extract`/`t5_spell` (env-blocked deterministic fallbacks
 # whose U-family siblings zero_shot_classify/model_ensemble/
-# ner_entities stay sampled). All three were green in r04 and lead the
+# ner_entities stay sampled). All four were green in r04 and lead the
 # r07 rotation. Every other oracle-backed query is covered by
-# union(r05, r06) (103 registered / 101 oracle-backed).
+# union(r05, r06) (104 registered / 102 oracle-backed).
 _CHECK_FIRST = (
     # round-6 second-wave additions, never sampled
     "turn_repetition", "remove_boilerplate", "collocations_topk",
     "embedding_quantize", "kmeans_refine", "ann_quantized_topk",
-    "loop_flagged_convs",
+    "loop_flagged_convs", "oov_rate",
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
     "minhash_incremental", "simhash_incremental", "minhash_compacted",
@@ -4151,13 +4221,13 @@ _CHECK_FIRST = (
     "winnow_fingerprint", "train_val_split", "stratified_sample",
     "gopher_quality", "rep_top_bigram", "asof_join", "sessionize",
     "event_rollup", "decontaminate", "pack_sequences",
-    "media_audio_features", "media_frame_sample",
+    "media_audio_features",
     "flagship_nofuzzy", "flagship_v3_nofuzzy", "variant_keep_best",
     "zero_shot_classify", "model_ensemble",
     "clean_text_v3", "junk_v3", "remove_prefixes", "issuer_for_grammar",
     "issuer_auth_account_grammar", "issuer_simple",
-    # 51st-53rd — the three documented carry-overs to the r07 lead
-    "media_resize", "qa_extract", "t5_spell",
+    # 51st-54th — the four documented carry-overs to the r07 lead
+    "media_resize", "media_frame_sample", "qa_extract", "t5_spell",
 )
 
 

@@ -365,3 +365,29 @@ def test_loop_gate_bites_on_degenerate_conversation(spark, tmp_path):
     assert out["loopy-0"]["flagged"] and out["loopy-0"]["loop_turns"] == 5
     assert not out["varied-0"]["flagged"]
     assert out["varied-0"]["loop_turns"] == 0
+
+
+# ---------------------------------------------------------------------------
+# oov_rate
+# ---------------------------------------------------------------------------
+
+def test_oov_rate_counts_rare_terms(spark, tmp_path):
+    """With VOCAB_TOPK=20 the vocabulary holds every distinct term of a
+    small corpus except the ones we crowd out: build 21+ distinct terms
+    where one ('zzz') is strictly rarest — it must be the OOV."""
+    common = " ".join(f"w{chr(97 + i)}" for i in range(20))  # 20 terms
+    rows = [(i, common, "s") for i in range(3)]              # each x3
+    rows.append((3, common + " zzz", "s"))                   # zzz once
+    sf = _write_docs(tmp_path, rows)
+    out = {r["doc_id"]: r for r in Q.q_oov_rate(spark, sf).collect()}
+    assert out[0]["oov_tokens"] == 0 and out[0]["oov_ppm"] == 0
+    assert out[3]["n_tokens"] == 21 and out[3]["oov_tokens"] == 1
+    assert out[3]["oov_ppm"] == 1_000_000 // 21
+
+
+def test_oov_rate_vocab_join_is_broadcast(spark):
+    df = Q.queries()["oov_rate"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert df.count() > 0
