@@ -1763,6 +1763,118 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM d a JOIN d b ON a.doc_id < b.doc_id"""
 
 
+CONT_GRAM_W = 3        # word-shingle width
+CONT_MAXDF = 20        # drop shingles in more docs (no signal, all cost)
+CONT_MIN_PPM = 750_000  # emit pairs covering >= 75% of the smaller set
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric near-duplicate detection: pairs where the shared
+    word-shingle set covers >= CONT_MIN_PPM of the SMALLER document's
+    shingles — the quote-expansion / syndication duplicates symmetric
+    Jaccard under-scores (a short article embedded in a longer page has
+    low Jaccard but containment ~1). Runs over the same planted
+    clone corpus as the MinHash family, so positives are guaranteed
+    (106 pairs >= threshold at sf0.01: the 72 clones plus natural
+    high-overlap pairs).
+
+    Scale shape: shingles are DISTINCT per doc then doc-freq-filtered
+    at CONT_MAXDF before the self-join — a shingle in more documents
+    than that carries no containment signal but quadratic join cost,
+    so the filter is the same bounded-fanout discipline as the LSH
+    bucket caps (max MAXDF^2 pairs per shingle, enforced BEFORE the
+    shuffle); per-doc totals are counted on the same filtered relation
+    so the ratio is consistent. The pair agg and both count aggs are
+    map-side combined; the ppm is exact cross-multiplied integer."""
+    toks = _docs_with_near_dups(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+        ).alias("t"),
+    )
+    w = CONT_GRAM_W
+    sh = (
+        toks.filter(F.size("t") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {w - 1}), "
+                    f"i -> array_join(slice(t, i, {w}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    keep = (
+        sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONT_MAXDF)
+        .select("gram")
+    )
+    f = sh.join(keep, "gram")
+    n = f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = f.select(F.col("doc_id").alias("id_a"), "gram")
+    b = f.select(F.col("doc_id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    na = n.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.expr(
+                "CAST((shared_grams * 1000000) div least(n_a, n_b) AS BIGINT)"
+            ).alias("cont_ppm"),
+        )
+        .filter(F.col("cont_ppm") >= CONT_MIN_PPM)
+    )
+
+
+def _sql_containment_pairs():
+    from cheque_ocr_project_spark.plans.dedup_sql import (
+        DOCS_WITH_NEAR_DUPS_CTE,
+    )
+
+    w = CONT_GRAM_W
+    return f"""
+WITH {DOCS_WITH_NEAR_DUPS_CTE},
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {w - 2}),
+                  i -> array_to_string(t[i:i+{w - 1}], ' '))) AS gram
+    FROM toks WHERE len(t) >= {w})
+), keep AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS df FROM sh GROUP BY gram
+  ) WHERE df <= {CONT_MAXDF}
+), f AS (
+  SELECT sh.doc_id, sh.gram FROM sh JOIN keep USING (gram)
+), n AS (
+  SELECT doc_id, count(*) AS n_grams FROM f GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_grams
+  FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.id_a, p.id_b, CAST(p.shared_grams AS BIGINT) AS shared_grams,
+       CAST((p.shared_grams * 1000000) // least(na.n_grams, nb.n_grams)
+            AS BIGINT) AS cont_ppm
+FROM p
+JOIN n na ON na.doc_id = p.id_a
+JOIN n nb ON nb.doc_id = p.id_b
+WHERE (p.shared_grams * 1000000) // least(na.n_grams, nb.n_grams)
+        >= {CONT_MIN_PPM}"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     emb = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
@@ -4152,6 +4264,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_filter_v2": (q_corpus_filter_v2, _sql_corpus_filter_v2),
     "corpus_filter_v3": (q_corpus_filter_v3, _sql_corpus_filter_v3),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
+    "containment_pairs": (q_containment_pairs, _sql_containment_pairs),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "embedding_lsh_near_dup": (q_embedding_lsh_near_dup, _sql_embedding_lsh_near_dup),
     "embedding_lsh_near_dup_capped": (
@@ -4195,21 +4308,21 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window (VERDICT r05 #7): round 6 leads with
 # the nine round-6 additions (never driver-checked), then the 37
 # oracle-backed queries the r05 sample missed (all r04-green). 46
-# entries plus the eight second-wave additions = 54: four more than
-# the 50-query sample, so exactly four entries must wait a round. The
-# slots are deliberate (placed 51st-54th): `media_resize` and
+# entries plus the nine second-wave additions = 55: five more than
+# the 50-query sample, so exactly five entries must wait a round. The
+# slots are deliberate (placed 51st-55th): `media_resize` and
 # `media_frame_sample` (media_audio stays sampled and media_image was
 # green in r05 — the shared multimodal plumbing keeps a fresh row),
-# and `qa_extract`/`t5_spell` (env-blocked deterministic fallbacks
-# whose U-family siblings zero_shot_classify/model_ensemble/
-# ner_entities stay sampled). All four were green in r04 and lead the
-# r07 rotation. Every other oracle-backed query is covered by
-# union(r05, r06) (104 registered / 102 oracle-backed).
+# and `qa_extract`/`t5_spell`/`zero_shot_classify` (env-blocked
+# deterministic fallbacks whose U-family composition model_ensemble
+# and sibling ner_entities stay sampled). All five were green in r04
+# and lead the r07 rotation. Every other oracle-backed query is
+# covered by union(r05, r06) (105 registered / 103 oracle-backed).
 _CHECK_FIRST = (
     # round-6 second-wave additions, never sampled
     "turn_repetition", "remove_boilerplate", "collocations_topk",
     "embedding_quantize", "kmeans_refine", "ann_quantized_topk",
-    "loop_flagged_convs", "oov_rate",
+    "loop_flagged_convs", "oov_rate", "containment_pairs",
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
     "minhash_incremental", "simhash_incremental", "minhash_compacted",
@@ -4223,11 +4336,12 @@ _CHECK_FIRST = (
     "event_rollup", "decontaminate", "pack_sequences",
     "media_audio_features",
     "flagship_nofuzzy", "flagship_v3_nofuzzy", "variant_keep_best",
-    "zero_shot_classify", "model_ensemble",
+    "model_ensemble",
     "clean_text_v3", "junk_v3", "remove_prefixes", "issuer_for_grammar",
     "issuer_auth_account_grammar", "issuer_simple",
-    # 51st-54th — the four documented carry-overs to the r07 lead
+    # 51st-55th — the five documented carry-overs to the r07 lead
     "media_resize", "media_frame_sample", "qa_extract", "t5_spell",
+    "zero_shot_classify",
 )
 
 

@@ -391,3 +391,48 @@ def test_oov_rate_vocab_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """A short doc embedded verbatim in a much longer doc has low
+    Jaccard but containment ~1 — the pair must surface. The clone
+    machinery (_docs_with_near_dups) also clones doc 0, so its clone
+    pair appears too; unrelated docs must not pair."""
+    short = "red fox jumps over lazy dog tonight"
+    long_doc = (
+        "intro words before the quote begins now " + short +
+        " and then a very long tail " +
+        " ".join(f"t{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}"
+                  for i in range(120))
+    )
+    sf = _write_docs(tmp_path, [
+        (1, short, "s"),
+        (2, long_doc, "s"),
+        (3, "completely unrelated words about maritime navigation "
+            "charts and brass instruments at sea calibration", "s"),
+    ])
+    rows = Q.q_containment_pairs(spark, sf).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["cont_ppm"] == 1_000_000  # fully contained
+    assert not any({3} & {a, b} for a, b in pairs)
+
+
+def test_containment_maxdf_filter_bounds_fanout(spark, tmp_path):
+    """A shingle present in > CONT_MAXDF documents must be excluded
+    from the join (no signal, quadratic cost): give every doc one
+    ubiquitous shingle and nothing else shared — no pairs may emerge."""
+    common = "aaa bbb ccc"  # one 3-gram, shared by all docs
+    # ids avoid doc_id % 7 == 0 so the near-dup clone machinery stays
+    # inert (a clone would legitimately pair with its original)
+    ids = [i for i in range(1, 60) if i % 7][: Q.CONT_MAXDF + 2]
+    rows = [(i, common + f" u{chr(97 + i % 26)}w only here "
+             f"{chr(97 + i % 26)}x {chr(97 + i % 26)}y "
+             f"q{chr(97 + i // 26)}{chr(97 + i % 26)}z", "s")
+            for i in ids]
+    sf = _write_docs(tmp_path, rows)
+    assert Q.q_containment_pairs(spark, sf).count() == 0
