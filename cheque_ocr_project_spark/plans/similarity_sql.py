@@ -91,23 +91,28 @@ SELECT query_id, neighbor_id, sim, rn FROM (
 ) WHERE rn <= {k}"""
 
 
+def pivots_cte(n_pivots: int) -> str:
+    """The hash-sampled pivot CTE — the load-bearing SQL mirror of
+    operators/similarity.ivf_pivots (pre-reduced overflow-safe rank key,
+    id tiebreak). sql_ann_ivf_topk and sql_kmeans_refine must select the
+    IDENTICAL seed set, so both render this single definition."""
+    return f"""pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pvec FROM embeddings
+  ORDER BY ((vec_id % {SIM.IVF_PIVOT_MOD}) * {SIM.IVF_PIVOT_MIX})
+             % {SIM.IVF_PIVOT_MOD} ASC, vec_id ASC
+  LIMIT {n_pivots}
+)"""
+
+
 def sql_ann_ivf_topk(k: int = 5, n_pivots: int = 16, nprobe: int = 4) -> str:
     """IVF-flat twin of similarity.ivf_topk: hash-sampled pivots, argmax
     cell assignment, nprobe probing, exact re-rank — all with the round-4
     cosine + id tiebreaks the Spark side uses."""
-    from cheque_ocr_project_spark.operators.similarity import (
-        IVF_PIVOT_MIX, IVF_PIVOT_MOD,
-    )
-
     asim = COSINE.format(a="e.embedding", b="p.pvec")
     qsim = COSINE.format(a="q.qvec", b="p.pvec")
     sim = COSINE.format(a="e.embedding", b="qq.qvec")
     return f"""
-WITH pivots AS (
-  SELECT vec_id AS pivot_id, embedding AS pvec FROM embeddings
-  ORDER BY ((vec_id % {IVF_PIVOT_MOD}) * {IVF_PIVOT_MIX}) % {IVF_PIVOT_MOD} ASC, vec_id ASC
-  LIMIT {n_pivots}
-),
+WITH {pivots_cte(n_pivots)},
 q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
 ),
@@ -177,12 +182,7 @@ def sql_kmeans_refine(n_pivots: int = 8) -> str:
     below either bound, and cm is cast back to BIGINT to match Spark."""
     off = SIM.KM_OFFSET
     return f"""
-WITH pivots AS (
-  SELECT vec_id AS pivot_id, embedding AS pvec FROM embeddings
-  ORDER BY ((vec_id % {SIM.IVF_PIVOT_MOD}) * {SIM.IVF_PIVOT_MIX})
-             % {SIM.IVF_PIVOT_MOD} ASC, vec_id ASC
-  LIMIT {n_pivots}
-), vd0 AS (
+WITH {pivots_cte(n_pivots)}, vd0 AS (
   SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
          unnest(embedding) AS val
   FROM embeddings

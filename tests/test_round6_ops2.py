@@ -436,3 +436,25 @@ def test_containment_maxdf_filter_bounds_fanout(spark, tmp_path):
             for i in ids]
     sf = _write_docs(tmp_path, rows)
     assert Q.q_containment_pairs(spark, sf).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# rotation sanity
+# ---------------------------------------------------------------------------
+
+def test_rotation_names_valid_and_new_ops_lead_the_sample():
+    """_merged_registry silently skips unknown _CHECK_FIRST names (a
+    typo would drop a query from the driver sample without a trace), so
+    pin: every rotation name resolves, no duplicates, and all nine
+    round-6 second-wave queries sit inside the 50-query sample prefix
+    the driver checks."""
+    reg = Q._merged_registry()
+    missing = [n for n in Q._CHECK_FIRST if n not in reg]
+    assert not missing, missing
+    assert len(set(Q._CHECK_FIRST)) == len(Q._CHECK_FIRST)
+    lead50 = list(reg)[:50]
+    for name in ("turn_repetition", "remove_boilerplate",
+                 "collocations_topk", "embedding_quantize",
+                 "kmeans_refine", "ann_quantized_topk",
+                 "loop_flagged_convs", "oov_rate", "containment_pairs"):
+        assert name in lead50, name
