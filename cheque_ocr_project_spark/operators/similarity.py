@@ -318,14 +318,17 @@ def kmeans_refine(emb: DataFrame, n_pivots: int = 8, id_col: str = "vec_id",
     k*dim rows and broadcasts back; re-assignment cost n*dim*k is the
     inherent Lloyd work, re-combined map-side twice (per (vec,cluster),
     then argmin per vec)."""
+    # integer diffs in the zip_with, squaring in the aggregate lambda:
+    # Catalyst does not CSE inside higher-order-function lambdas, so
+    # writing the squared diff inline would pay the float->double
+    # multiply+floor+cast four times per (vector, pivot, dim) in the
+    # hottest n*k*dim stage instead of two
     dist0 = F.expr(
         f"""aggregate(
           zip_with({vec_col}, pvec, (x, y) ->
-            (CAST(floor(x * 1000000.0) AS BIGINT)
-             - CAST(floor(y * 1000000.0) AS BIGINT))
-            * (CAST(floor(x * 1000000.0) AS BIGINT)
-               - CAST(floor(y * 1000000.0) AS BIGINT))),
-          CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+            CAST(floor(x * 1000000.0) AS BIGINT)
+            - CAST(floor(y * 1000000.0) AS BIGINT)),
+          CAST(0 AS BIGINT), (acc, d) -> acc + d * d)"""
     )
     pivots = ivf_pivots(emb, n_pivots, id_col, vec_col)
     assign0 = (

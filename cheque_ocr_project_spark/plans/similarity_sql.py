@@ -94,8 +94,10 @@ SELECT query_id, neighbor_id, sim, rn FROM (
 def pivots_cte(n_pivots: int) -> str:
     """The hash-sampled pivot CTE — the load-bearing SQL mirror of
     operators/similarity.ivf_pivots (pre-reduced overflow-safe rank key,
-    id tiebreak). sql_ann_ivf_topk and sql_kmeans_refine must select the
-    IDENTICAL seed set, so both render this single definition."""
+    id tiebreak). sql_ann_ivf_topk and sql_kmeans_refine must rank by
+    the IDENTICAL formula so their seed sets stay prefix-consistent
+    (they pass different n_pivots: 16 vs 8), hence both render this
+    single definition."""
     return f"""pivots AS (
   SELECT vec_id AS pivot_id, embedding AS pvec FROM embeddings
   ORDER BY ((vec_id % {SIM.IVF_PIVOT_MOD}) * {SIM.IVF_PIVOT_MIX})

@@ -143,8 +143,8 @@ def test_turn_repetition_whale_conversation_plan(spark, tmp_path):
 
     out = df.toPandas()
     assert len(out) == n - 1
-    # tok cycle of 7: a turn shares 'same' with its predecessor always,
-    # plus tok%d never (distinct i) -> inter==1, union==3
+    # every turn = {letters(i), same}; letters(i) is distinct per turn,
+    # so consecutive turns share exactly 'same' -> inter==1, union==3
     assert (out["inter_toks"] == 1).all() and (out["union_toks"] == 3).all()
 
 
@@ -399,9 +399,9 @@ def test_oov_rate_vocab_join_is_broadcast(spark):
 
 def test_containment_catches_what_jaccard_misses(spark, tmp_path):
     """A short doc embedded verbatim in a much longer doc has low
-    Jaccard but containment ~1 — the pair must surface. The clone
-    machinery (_docs_with_near_dups) also clones doc 0, so its clone
-    pair appears too; unrelated docs must not pair."""
+    Jaccard but containment ~1 — the pair must surface; unrelated docs
+    must not pair. (ids 1-3 are not multiples of 7, so the clone
+    machinery in _docs_with_near_dups stays inert here.)"""
     short = "red fox jumps over lazy dog tonight"
     long_doc = (
         "intro words before the quote begins now " + short +
