@@ -57,10 +57,14 @@ def test_turn_repetition_identical_turn_pins_ppm(spark, tmp_path):
     assert out[3]["rep_ppm"] == 500_000
 
 
-def test_turn_repetition_chunked_matches_naive_across_gaps(spark):
-    """Force many chunk boundaries AND empty chunks (sparse turn_idx)
-    with chunk_sz=2; the two-pass decomposition must equal the naive
-    single-window lag computed in pandas."""
+@pytest.mark.parametrize("chunk_sz", [1, 2, 3, 7, 4096])
+def test_turn_repetition_chunked_matches_naive_across_gaps(spark, chunk_sz):
+    """Force many chunk boundaries AND empty chunks (sparse turn_idx);
+    the two-pass decomposition must equal the naive single-window lag
+    computed in pandas at EVERY chunk width — chunk_sz=1 routes every
+    predecessor through the summary-carry path (each chunk holds one
+    row), 4096 routes everything through the intra-chunk lag, and the
+    small primes exercise mixed boundaries over the gappy indexes."""
     rng = np.random.RandomState(11)
     vocab = ["a", "b", "c", "d", "e", "f"]
     rows = []
@@ -75,7 +79,7 @@ def test_turn_repetition_chunked_matches_naive_across_gaps(spark):
         "turn_idx", F.col("turn_idx").cast("int")
     )
     got = (
-        Q.turn_repetition_chunked(sdf, chunk_sz=2)
+        Q.turn_repetition_chunked(sdf, chunk_sz=chunk_sz)
         .toPandas()
         .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
