@@ -58,6 +58,11 @@ def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
         return _check_transcript_schema(df, source)
     if low.endswith(".json") or low.endswith(".jsonl"):
         return _check_transcript_schema(spark.read.json(source), source)
+    if low.endswith(".orc") or low.endswith("_orc"):
+        # ORC keeps the full typed schema (like parquet, unlike CSV), so
+        # no cast restoration is needed — columnar archives from Hive-era
+        # warehouses land through this branch unchanged
+        return _check_transcript_schema(spark.read.orc(source), source)
     return _check_transcript_schema(spark.read.parquet(source), source)
 
 

@@ -172,6 +172,14 @@ def test_read_transcripts_csv_and_json(spark, fixture_data, tmp_path):
     backj = IO.read_transcripts(spark, json_dir + "/part.json")
     assert backj.count() == 40
 
+    orc_dir = str(tmp_path / "in_orc")
+    sdf.write.mode("overwrite").orc(orc_dir + "/part.orc")
+    backo = IO.read_transcripts(spark, orc_dir + "/part.orc")
+    assert backo.count() == 40
+    # ORC preserves the typed schema end-to-end (no cast restoration)
+    assert dict(backo.dtypes)["turn_idx"] == "int"
+    assert dict(backo.dtypes)["ts"] == "timestamp"
+
 
 def test_job_refuses_silent_manifest_overwrite(tmp_path, monkeypatch):
     """A fresh run into an output with existing run state must fail without
