@@ -505,3 +505,45 @@ def test_range_join_plan_is_equi_not_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# corpus_job pipeline
+# ---------------------------------------------------------------------------
+
+def test_corpus_job_stages_chain_and_resume(spark, tmp_path):
+    """The corpus pipeline materializes gate survivors once and feeds
+    the SAME contract callables from the stage directory; a resumed run
+    skips completed stages (markers + unchanged artifacts), and a fresh
+    run into existing state without --resume refuses."""
+    from cheque_ocr_project_spark import corpus_job as CJ
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    src = "/root/testdata/sf0.001"
+    out = tmp_path / "run"
+    counts = CJ.run(spark, src, str(out))
+    expected = Q.queries()["corpus_filter_v3"](spark, src).count()
+    assert counts["survivors"] == expected
+    assert counts["packed"] == expected and counts["splits"] == expected
+    assert (out / "summary.txt").read_text().startswith("packed:")
+
+    # stage outputs are documents-shaped: any contract operator runs on
+    # them unchanged
+    again = Q.queries()["token_stats"](spark, str(out / "survivors"))
+    assert again.count() == expected
+
+    # resume skips completed stages: markers keep their wall_ms payload
+    import json as _json
+
+    before = _json.loads((out / "survivors" / "_STAGE_DONE").read_text())
+    counts2 = CJ.run(spark, src, str(out), resume=True)
+    after = _json.loads((out / "survivors" / "_STAGE_DONE").read_text())
+    assert counts2 == counts and before == after
+
+    # a non-resume, non-overwrite rerun must refuse rather than clobber
+    with pytest.raises(SystemExit):
+        CJ.run(spark, src, str(out))
+
+    # overwrite discards and recomputes from scratch
+    counts3 = CJ.run(spark, src, str(out), overwrite=True)
+    assert counts3 == counts
