@@ -16,9 +16,10 @@ Each stage writes an idempotent parquet artifact plus a ``_STAGE_DONE``
 marker carrying its row count; a killed run restarted with ``--resume``
 skips every completed stage and recomputes only what is missing — the
 corpus-side analog of job.py's checkpointed extraction resume (reference
-behavior: run_production.py:48-80). Stage outputs keep the canonical
-documents layout (``<stage>/documents.parquet``), so any contract
-operator can be pointed at a stage directory unchanged.
+behavior: run_production.py:48-80). The SURVIVORS stage keeps the
+canonical documents layout (``survivors/documents.parquet``), so any
+contract operator can be pointed at that directory unchanged (packed/
+splits are derived relations, written as ``<stage>/data.parquet``).
 
 Usage:
   spark-submit --py-files app.zip cheque_ocr_project_spark/corpus_job.py \
@@ -70,9 +71,18 @@ def run(spark: SparkSession, input_dir: str, output_dir: str,
     from cheque_ocr_project_spark.plans import queries as Q
 
     out = Path(output_dir)
-    if out.exists() and any(out.iterdir()):
+    # destruction is scoped to the paths THIS pipeline writes (job.py's
+    # discipline: an --output pointed at a directory that also holds
+    # unrelated data must never take it down)
+    state_paths = [out / "survivors", out / "packed", out / "splits",
+                   out / "summary.txt"]
+    if any(p.exists() for p in state_paths):
         if overwrite:
-            shutil.rmtree(out)
+            for p in state_paths:
+                if p.is_dir():
+                    shutil.rmtree(p)
+                elif p.exists():
+                    p.unlink()
         elif not resume:
             raise SystemExit(
                 f"output {output_dir} already holds run state; pass "
@@ -126,9 +136,12 @@ def main(argv=None) -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .getOrCreate()
     )
-    counts = run(spark, args.input, args.output,
-                 resume=args.resume, overwrite=args.overwrite)
-    print(json.dumps({"stages": counts}))
+    try:
+        counts = run(spark, args.input, args.output,
+                     resume=args.resume, overwrite=args.overwrite)
+        print(json.dumps({"stages": counts}))
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -449,7 +449,7 @@ def test_containment_maxdf_filter_bounds_fanout(spark, tmp_path):
 def test_rotation_names_valid_and_new_ops_lead_the_sample():
     """_merged_registry silently skips unknown _CHECK_FIRST names (a
     typo would drop a query from the driver sample without a trace), so
-    pin: every rotation name resolves, no duplicates, and all nine
+    pin: every rotation name resolves, no duplicates, and all ten
     round-6 second-wave queries sit inside the 50-query sample prefix
     the driver checks."""
     reg = Q._merged_registry()
@@ -460,7 +460,8 @@ def test_rotation_names_valid_and_new_ops_lead_the_sample():
     for name in ("turn_repetition", "remove_boilerplate",
                  "collocations_topk", "embedding_quantize",
                  "kmeans_refine", "ann_quantized_topk",
-                 "loop_flagged_convs", "oov_rate", "containment_pairs"):
+                 "loop_flagged_convs", "oov_rate", "containment_pairs",
+                 "range_join_binned"):
         assert name in lead50, name
 
 
