@@ -1081,8 +1081,9 @@ def q_collocations_topk(spark, sf_dir):
     usual PMI formulation, is NOT bit-identical across engines).
 
     Scale shape: unigram and bigram counts are both map-side-combined
-    aggs over one explode each; the unigram relation is vocabulary-sized
-    and joins back broadcast; the corpus total rides a 1-row broadcast
+    aggs over one explode each; the unigram joins are deliberately
+    UNHINTED (the vocabulary is unbounded at web scale — AQE broadcasts
+    at runtime when it fits); the corpus total rides a 1-row broadcast
     cross join; the final top-K is orderBy+limit — a distributed
     TakeOrderedAndProject, never a global sort. Overflow bound: the
     int64 numerator needs pair_cnt * N_tokens <= 9.2e12 (safe through
@@ -1108,11 +1109,17 @@ def q_collocations_topk(spark, sf_dir):
     )
     total = uni.agg(F.sum("c").cast("long").alias("total"))
     bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    # NO forced broadcast on the unigram joins: the vocabulary is
+    # unbounded at web scale (1e8+ terms), so a broadcast hint would
+    # eventually OOM the driver; both sides are already term-keyed
+    # aggregates, and AQE broadcasts at runtime whenever the vocab
+    # actually fits (it does at every test SF). Only the 1-row corpus
+    # total is hint-broadcast.
     scored = (
-        bi.join(F.broadcast(uni.select(F.col("w").alias("w1"),
-                                       F.col("c").alias("c1"))), "w1")
-        .join(F.broadcast(uni.select(F.col("w").alias("w2"),
-                                     F.col("c").alias("c2"))), "w2")
+        bi.join(uni.select(F.col("w").alias("w1"),
+                           F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c").alias("c2")), "w2")
         .crossJoin(F.broadcast(total))
         .select(
             F.concat_ws(" ", "w1", "w2").alias("bigram"),
