@@ -548,3 +548,36 @@ def test_corpus_job_stages_chain_and_resume(spark, tmp_path):
     # overwrite discards and recomputes from scratch
     counts3 = CJ.run(spark, src, str(out), overwrite=True)
     assert counts3 == counts
+
+
+def test_ann_quantized_recall_vs_exact(spark):
+    """The int8 codes must stay a faithful search surface: per query,
+    the quantized top-5 and the exact float top-5 (ann_topk) overlap on
+    most neighbors at sf0.01 — measured, not assumed (the same recall
+    discipline lsh_topk ships with)."""
+    sf = "/root/testdata/sf0.01"
+    exact = {}
+    for r in Q.queries()["ann_topk"](spark, sf).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    quant = {}
+    for r in Q.queries()["ann_quantized_topk"](spark, sf).collect():
+        quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(exact) == set(quant)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, (hits, total)
+
+
+def test_containment_maxdf_boundary_is_inclusive(spark, tmp_path):
+    """df == CONT_MAXDF keeps the shingle (the cap is <=): two fully
+    identical docs replicated to exactly MAXDF copies... simpler: one
+    shared run in exactly CONT_MAXDF docs still produces pairs."""
+    shared = "pp qq rr ss tt"  # 3 shingles, each in every doc below
+    ids = [i for i in range(1, 40) if i % 7][: Q.CONT_MAXDF]
+    rows = [(i, shared, "s") for i in ids]
+    sf = _write_docs(tmp_path, rows)
+    out = Q.q_containment_pairs(spark, sf).collect()
+    # identical docs: full containment for every pair of the MAXDF docs
+    n = len(ids)
+    assert len(out) == n * (n - 1) // 2
+    assert all(r["cont_ppm"] == 1_000_000 for r in out)
