@@ -111,7 +111,8 @@ def hyperplane_signatures(spark: SparkSession, df: DataFrame, id_col: str,
 def lsh_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
              dim: int, k: int = 5, n_planes: int = 12, n_bands: int = 6,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 29, max_bucket: int | None = None) -> DataFrame:
+             seed: int = 29, max_bucket: int | None = None,
+             multiprobe: bool = False) -> DataFrame:
     """Approximate top-k: only same-LSH-band (query, corpus) pairs scored.
 
     ``max_bucket`` caps the CORPUS side of the band join via
@@ -121,7 +122,14 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
     quadratic-blowup shape the MinHash/SimHash joins already cap. A capped
     corpus bucket's vectors can still surface through their other bands;
     recall loss is observable via dedup.oversized_buckets on the exploded
-    signature relation."""
+    signature relation.
+
+    ``multiprobe`` additionally probes every Hamming-1 neighbor of each
+    QUERY band code (classic multiprobe LSH): a near neighbor that
+    disagrees on exactly one sign bit in a band still meets the query
+    there. Cost scales the query-side key set by (n_planes + 1) — the
+    query relation is the small broadcast side, so the corpus never pays;
+    the candidate set is a strict superset, so recall can only rise."""
     from cheque_ocr_project_spark.operators.dedup import cap_bucket_size
 
     corpus_sig = hyperplane_signatures(
@@ -132,6 +140,21 @@ def lsh_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
         spark, queries.select(F.col("query_id").alias(id_col), F.col("qvec").alias(vec_col)),
         id_col, vec_col, dim, n_planes, n_bands, seed,
     ).select(F.col("id").alias("query_id"), F.explode("bands").alias("band_key"))
+    if multiprobe:
+        # 'b:code' -> itself plus every single-bit flip of code (pure JVM
+        # string/bit expressions; no extra Arrow stage)
+        flips = F.expr(
+            f"""transform(sequence(0, {n_planes - 1}), p ->
+                  concat(split(band_key, ':')[0], ':',
+                         CAST(CAST(split(band_key, ':')[1] AS BIGINT)
+                              ^ shiftleft(CAST(1 AS BIGINT), p) AS STRING)))"""
+        )
+        query_sig = query_sig.select(
+            "query_id",
+            F.explode(
+                F.array_union(F.array(F.col("band_key")), flips)
+            ).alias("band_key"),
+        )
 
     cand = (
         corpus_sig.join(F.broadcast(query_sig), "band_key")

@@ -581,3 +581,28 @@ def test_containment_maxdf_boundary_is_inclusive(spark, tmp_path):
     n = len(ids)
     assert len(out) == n * (n - 1) // 2
     assert all(r["cont_ppm"] == 1_000_000 for r in out)
+
+
+def test_lsh_multiprobe_recall_never_below_plain(spark):
+    """Hamming-1 multiprobe expands the query-side candidate set into a
+    strict superset, so recall vs the exact baseline can only rise —
+    measured against brute force at sf0.01, query-side cost only."""
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             Q.queries()["ann_topk"](spark, "/root/testdata/sf0.01").collect()}
+
+    def recall(multiprobe):
+        got = {(r["query_id"], r["neighbor_id"]) for r in
+               SIM.lsh_topk(spark, emb, queries, dim=64, k=5,
+                            n_planes=4, n_bands=24,
+                            multiprobe=multiprobe).collect()}
+        return len(exact & got) / len(exact)
+
+    plain, multi = recall(False), recall(True)
+    assert multi >= plain, (plain, multi)
+    assert multi >= 0.8
