@@ -454,7 +454,11 @@ def append_to_minhash_index(spark, new_docs: DataFrame, table: str,
     the probe's — appending rows banded under a different geometry would
     poison the index silently) and append it to the delta side table.
     Caller contract: ids not already in the index (same contract as the
-    probe's pair identity)."""
+    probe's pair identity). Runs crash recovery first so an append never
+    lands in a delta that a crashed compaction already folded (the
+    roll-forward would otherwise drop the fresh rows with the stale
+    ones)."""
+    _recover_crashed_compaction(spark, table)
     _check_index_params(spark, table, dict(
         num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed))
     banded = minhash_banded(new_docs, id_col, text_col, num_perm, bands,
@@ -467,6 +471,7 @@ def append_to_simhash_index(spark, new_docs: DataFrame, table: str,
                             id_col: str, text_col: str,
                             max_hamming: int = 3) -> None:
     """SimHash twin of append_to_minhash_index."""
+    _recover_crashed_compaction(spark, table)
     _check_index_params(spark, table, dict(max_hamming=max_hamming))
     banded = simhash_banded(new_docs, id_col, text_col, max_hamming)
     banded.write.format("parquet").mode("append").saveAsTable(
@@ -494,14 +499,50 @@ def _table_bucket_spec(spark, table: str) -> tuple[list[str], int]:
     return keys, int(n)
 
 
+def _recover_crashed_compaction(spark, table: str) -> None:
+    """Entry-time recovery for a compaction that died mid-swap. The swap
+    is RENAME table→old; RENAME tmp→table, with tmp fully written and
+    stamped beforehand, so every crash point is distinguishable from the
+    catalog:
+
+    - ``old`` exists AND ``table`` missing → crash BETWEEN the renames:
+      roll BACK (old→table). The pre-compaction state (table + delta) is
+      intact, so the rerun simply folds again — no duplicate rows.
+    - ``old`` exists AND ``table`` exists → crash AFTER the swap, before
+      cleanup: the delta was already folded into the live table, so
+      finish the roll-forward by dropping the (now duplicated) delta and
+      the old layout.
+    - Stray ``__compact``/``__old`` warehouse DIRECTORIES with no catalog
+      entry (a dead SESSION's leftovers — the in-memory catalog forgets,
+      the filesystem doesn't) are cleared through the Hadoop FS API;
+      plain DROP TABLE IF EXISTS would leave them to wedge the next
+      write_bucketed/RENAME with LOCATION_ALREADY_EXISTS."""
+    from cheque_ocr_project_spark.sources.io import drop_table_and_location
+
+    tmp, old = f"{table}__compact", f"{table}__old"
+    if spark.catalog.tableExists(old):
+        if spark.catalog.tableExists(table):
+            drop_table_and_location(spark, _delta_table(table))
+            drop_table_and_location(spark, old)
+        else:
+            spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+    # clear stray catalog entries AND orphaned directories (no-ops when
+    # neither exists; old's directory has MOVED if the roll-back ran)
+    drop_table_and_location(spark, tmp)
+    drop_table_and_location(spark, old)
+
+
 def compact_index(spark, table: str) -> None:
     """Fold the delta side table back into the bucketed index: ONE
     corpus-wide shuffle (the same cost persist paid once), after which
     probes are exchange-free on the whole corpus again. Works for any
     persist_*_index table — bucket spec comes from the catalog, LSH
     parameters are carried over from the stored table properties.
-    Crash-safe ordering: the new layout is fully written and stamped
-    under a temp name before the old table is swapped out."""
+    Crash-safe: the new layout is fully written and stamped under a temp
+    name before the swap, and _recover_crashed_compaction rolls a prior
+    crashed run back (swap incomplete) or forward (swap complete, cleanup
+    unfinished) on entry, clearing orphaned tmp/old locations."""
+    _recover_crashed_compaction(spark, table)
     stored = {
         r["key"]: r["value"]
         for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
@@ -517,21 +558,24 @@ def compact_index(spark, table: str) -> None:
     delta = _delta_table(table)
     if not spark.catalog.tableExists(delta):
         return  # nothing appended since the last compaction
-    from cheque_ocr_project_spark.sources.io import write_bucketed
+    from cheque_ocr_project_spark.sources.io import (
+        drop_table_and_location, write_bucketed,
+    )
 
     cols = spark.table(table).columns
     merged = spark.table(table).select(cols).unionByName(
         spark.table(delta).select(cols)
     )
     tmp, old = f"{table}__compact", f"{table}__old"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    spark.sql(f"DROP TABLE IF EXISTS {old}")
     write_bucketed(merged, tmp, keys, n_buckets=n_buckets)
     _set_index_params(spark, tmp, params)
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    spark.sql(f"DROP TABLE {old}")
-    spark.sql(f"DROP TABLE {delta}")
+    # delta BEFORE old: if we die between these, recovery sees table+old
+    # and knows the swap completed (delta may or may not remain — both
+    # drops are idempotent there)
+    drop_table_and_location(spark, delta)
+    drop_table_and_location(spark, old)
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -328,8 +328,12 @@ def kmeans_refine(emb: DataFrame, n_pivots: int = 8, id_col: str = "vec_id",
     mean is computed in offset space — ``(sum + cnt*OFF) div cnt - OFF``
     with a non-negative numerator — the one form on which Spark's
     truncating ``div`` and DuckDB's flooring ``//`` agree for negative
-    sums. ``cnt * OFF`` bounds the exact path at ~5.5e11 members per
-    cluster; past that, average per-partition partials first. Ties
+    sums. The non-negativity precondition (every component micros
+    >= -KM_OFFSET) is ENFORCED at runtime: min(pm) rides the centroid
+    agg and raise_error fires if any embedding falls below -16.78 units,
+    instead of silently mis-clustering. ``cnt * OFF`` bounds the exact
+    path at ~5.5e11 members per cluster; past that, average
+    per-partition partials first. Ties
     break on the smaller cluster id on both sides. Empty refined
     clusters (a seed that attracts no members) simply field no
     candidates in the re-assignment, exactly as in both engines.
@@ -369,13 +373,27 @@ def kmeans_refine(emb: DataFrame, n_pivots: int = 8, id_col: str = "vec_id",
             F.floor(F.col("val") * F.lit(1000000.0)).cast("long").alias("pm"),
         )
     )
+    # the offset floor-div identity needs s + cnt*OFF >= 0, guaranteed by
+    # min(pm) >= -OFF; out-of-range embeddings (< -16.78 units) would
+    # otherwise mis-cluster SILENTLY (truncating div != floor on a
+    # negative numerator). min(pm) rides the existing agg (no extra
+    # pass) and raise_error fires lazily, executor-side, only on
+    # violation — the guard costs one comparison per k*dim centroid row.
     cent = (
         dims.groupBy("cluster0", "dim")
-        .agg(F.sum("pm").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("pm").alias("s"), F.count(F.lit(1)).alias("cnt"),
+             F.min("pm").alias("mn"))
         .select(
             F.col("cluster0").alias("cluster"), "dim",
-            F.expr(f"(s + cnt * {KM_OFFSET}) div cnt - {KM_OFFSET}")
-            .alias("cm"),
+            F.expr(
+                f"CASE WHEN mn < {-KM_OFFSET} THEN CAST(raise_error("
+                f"concat('kmeans_refine: embedding component ', "
+                f"CAST(mn AS STRING), ' micros is below -KM_OFFSET "
+                f"(-{KM_OFFSET}); the offset floor-div centroid identity "
+                f"no longer holds — raise KM_OFFSET or rescale the "
+                f"embeddings')) AS BIGINT) "
+                f"ELSE (s + cnt * {KM_OFFSET}) div cnt - {KM_OFFSET} END"
+            ).alias("cm"),
         )
     )
     assign1 = (

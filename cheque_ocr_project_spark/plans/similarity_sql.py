@@ -61,17 +61,35 @@ def _sig_cte(src_sql: str, id_alias: str, vec: str, dim: int, n_planes: int,
 
 def sql_ann_lsh_topk(dim: int = 64, k: int = 5, n_planes: int = 4,
                      n_bands: int = 24, seed: int = 29,
-                     max_bucket: int | None = None) -> str:
+                     max_bucket: int | None = None,
+                     multiprobe: bool = False) -> str:
     corpus_sig = _sig_cte("embeddings", "vec_id", "embedding",
                           dim, n_planes, n_bands, seed, max_bucket)
     query_sig = _sig_cte("q", "query_id", "qvec", dim, n_planes, n_bands, seed)
     sim = COSINE.format(a="e.embedding", b="qq.qvec")
+    probe_cte = ""
+    if multiprobe:
+        # Hamming-1 multiprobe twin of similarity.lsh_topk(multiprobe=True):
+        # each query band key probes itself plus every single-bit XOR flip
+        # of its code — pure integer bit-math, identical on both engines.
+        probe_cte = f""",
+query_sig AS (
+  SELECT DISTINCT query_id, band_key FROM (
+    SELECT query_id, unnest([band_key] || list_transform(
+      range(0, {n_planes}), p ->
+        split_part(band_key, ':', 1) || ':' ||
+        CAST(xor(CAST(split_part(band_key, ':', 2) AS BIGINT),
+                 (CAST(1 AS BIGINT) << p)) AS VARCHAR)
+    )) AS band_key
+    FROM query_sig_exact
+  )
+)"""
     return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
 ),
 corpus_sig AS {corpus_sig},
-query_sig AS {query_sig},
+{'query_sig_exact' if multiprobe else 'query_sig'} AS {query_sig}{probe_cte},
 cand AS (
   SELECT DISTINCT qs.query_id, cs.vec_id
   FROM corpus_sig cs JOIN query_sig qs USING (band_key)

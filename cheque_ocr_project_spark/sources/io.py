@@ -115,6 +115,21 @@ def merge_into_iceberg(spark: SparkSession, target_table: str,
         return False
 
 
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus the managed-table directory: a previous
+    SESSION's warehouse dir can survive while the current session's
+    catalog has no entry for it, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS. Deleting through the Hadoop FileSystem API
+    keeps this correct for any warehouse scheme, not just file://."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(df: DataFrame, table: str, keys: list[str],
                    n_buckets: int = 64, sort: bool = True,
                    mode: str = "overwrite") -> None:

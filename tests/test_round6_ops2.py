@@ -449,19 +449,26 @@ def test_containment_maxdf_filter_bounds_fanout(spark, tmp_path):
 def test_rotation_names_valid_and_new_ops_lead_the_sample():
     """_merged_registry silently skips unknown _CHECK_FIRST names (a
     typo would drop a query from the driver sample without a trace), so
-    pin: every rotation name resolves, no duplicates, and all ten
-    round-6 second-wave queries sit inside the 50-query sample prefix
-    the driver checks."""
+    pin: every rotation name resolves, no duplicates, and the round-7
+    obligations sit inside the 50-query sample prefix the driver checks
+    — the six r04-carries (promised the r07 lead by the r06 comment),
+    the queries whose implementation changed after their last driver
+    row, and the three round-7 additions (VERDICT r06 #1/#3/#4/#6)."""
     reg = Q._merged_registry()
     missing = [n for n in Q._CHECK_FIRST if n not in reg]
     assert not missing, missing
     assert len(set(Q._CHECK_FIRST)) == len(Q._CHECK_FIRST)
     lead50 = list(reg)[:50]
-    for name in ("turn_repetition", "remove_boilerplate",
-                 "collocations_topk", "embedding_quantize",
-                 "kmeans_refine", "ann_quantized_topk",
-                 "loop_flagged_convs", "oov_rate", "containment_pairs",
-                 "range_join_binned"):
+    for name in (
+        # r04-carries
+        "media_resize", "media_frame_sample", "qa_extract", "t5_spell",
+        "zero_shot_classify", "variant_keep_best",
+        # re-implemented after last driver row
+        "doclen_quantiles", "collocations_topk", "kmeans_refine",
+        # round-7 additions
+        "ann_ivf_quantized_topk", "corpus_job_survivors",
+        "ann_lsh_topk_multiprobe",
+    ):
         assert name in lead50, name
 
 

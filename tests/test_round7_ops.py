@@ -1,0 +1,265 @@
+"""Round-7 tests: the IVF-over-quantized-codes composition, the
+multiprobe contract row's operator knob, compact_index crash recovery
+(ADVICE r06), and the kmeans_refine offset guard (ADVICE r06).
+
+Oracle parity for the three new contract queries is covered by
+test_driver_contract's sweep (parametrized over oracle_sql()); here we
+prove the recall/robustness properties no SQL twin can express.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cheque_ocr_project_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_quantized_topk — the PQ+IVF serving composition
+# ---------------------------------------------------------------------------
+
+def _topk_sets(spark, name, id_field):
+    out = {}
+    for r in Q.queries()[name](spark, SF).collect():
+        out.setdefault(r["query_id"], set()).add(r[id_field])
+    return out
+
+
+def test_ann_ivf_quantized_recall_vs_exact(spark):
+    """Cell probing over the int8 codes must not degrade recall below
+    what the FLOAT IVF pays for the same nprobe/pivot geometry: at
+    sf0.01 both measure 12/25 vs their exact baselines — the quantized
+    composition loses nothing to quantization, only to cell probing.
+    Bound pinned with slack (>= 0.4) so a testdata refresh doesn't flake
+    the suite; equality with the float path is asserted as >=."""
+    quant_exact = _topk_sets(spark, "ann_quantized_topk", "vec_id")
+    ivfq = _topk_sets(spark, "ann_ivf_quantized_topk", "vec_id")
+    assert set(quant_exact) == set(ivfq)
+    total = sum(len(v) for v in quant_exact.values())
+    ivfq_hits = sum(len(quant_exact[q] & ivfq[q]) for q in quant_exact)
+    assert ivfq_hits / total >= 0.4, (ivfq_hits, total)
+
+    float_exact = _topk_sets(spark, "ann_topk", "vec_id")
+    float_ivf = _topk_sets(spark, "ann_ivf_topk", "neighbor_id")
+    float_hits = sum(len(float_exact[q] & float_ivf[q]) for q in float_exact)
+    assert ivfq_hits >= float_hits, (
+        f"quantized IVF recall {ivfq_hits}/{total} fell below the float "
+        f"IVF's {float_hits}/{total} at identical probe geometry"
+    )
+
+
+def test_ann_ivf_quantized_plan_no_corpus_window(spark):
+    """Scale lock: the corpus-wide argmin must stay a min(struct) agg —
+    every Window/WindowGroupLimit in the plan partitions by query_id
+    (|Q| keys over cell-restricted candidates), never by vec_id (a
+    corpus-sized window would pin one task per vector at 100 TB). No
+    NestedLoop/Cartesian anywhere (all joins are equi on dim/pivot/id)."""
+    df = Q.queries()["ann_ivf_quantized_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and \
+        "CartesianProduct" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    limits = re.findall(r"WindowGroupLimit \[(\w+)", plan)
+    assert specs and all(s.startswith("query_id") for s in specs), specs
+    assert all(s.startswith("query_id") for s in limits), limits
+
+
+# ---------------------------------------------------------------------------
+# compact_index crash recovery (ADVICE r06 #1)
+# ---------------------------------------------------------------------------
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while market prices "
+    "for steel and textiles continued to rise across the quarter"
+)
+
+
+def _mk_index(spark, table, n_corpus=120, n_batch=20):
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [(i, f"{BASE} batch marker {i % 7}") for i in range(n_corpus)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"{BASE} batch marker {i % 7}") for i in range(n_batch)],
+        "doc_id long, text string",
+    )
+    DD.persist_minhash_index(corpus, table, "doc_id", "text", n_buckets=4)
+    DD.append_to_minhash_index(spark, batch, table, "doc_id", "text")
+    return corpus, batch
+
+
+def _probe_pairs(spark, table):
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    probe = spark.createDataFrame(
+        [(3000, f"{BASE} batch marker 1")], "doc_id long, text string",
+    )
+    return {
+        (r.id_a, r.id_b)
+        for r in DD.incremental_minhash_pairs(
+            spark, probe, table, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+
+
+def _cleanup(spark, table):
+    for suffix in ("", "__delta", "__compact", "__old"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
+def _simulate_crash_between_renames(spark, table):
+    """Reproduce compact_index's state at the crash point between the
+    two RENAMEs: tmp fully written and stamped, live table renamed away,
+    delta intact."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+    from cheque_ocr_project_spark.sources.io import write_bucketed
+
+    stored = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    params = {k[4:]: v for k, v in stored.items() if k.startswith("lsh.")}
+    keys, n_buckets = DD._table_bucket_spec(spark, table)
+    cols = spark.table(table).columns
+    merged = spark.table(table).select(cols).unionByName(
+        spark.table(f"{table}__delta").select(cols)
+    )
+    write_bucketed(merged, f"{table}__compact", keys, n_buckets=n_buckets)
+    DD._set_index_params(spark, f"{table}__compact", params)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}__old")
+
+
+def test_compact_recovers_from_crash_between_renames(spark):
+    """Crash with the live table renamed away: a rerun must roll BACK
+    (old -> table), then complete a normal compaction — same pairs as a
+    clean run, no leftover side tables, no lost delta."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    t = "t_crash_mid"
+    _cleanup(spark, t)
+    try:
+        _mk_index(spark, t)
+        expected = _probe_pairs(spark, t)
+        _simulate_crash_between_renames(spark, t)
+        assert not spark.catalog.tableExists(t)
+
+        DD.compact_index(spark, t)
+        assert spark.catalog.tableExists(t)
+        for suffix in ("__delta", "__compact", "__old"):
+            assert not spark.catalog.tableExists(f"{t}{suffix}"), suffix
+        assert _probe_pairs(spark, t) == expected
+        assert expected, "probe found no pairs — test corpus broken"
+    finally:
+        _cleanup(spark, t)
+
+
+def test_compact_recovers_from_crash_after_swap(spark):
+    """Crash AFTER both renames but before cleanup (old + already-folded
+    delta still present): a rerun must roll FORWARD — drop both, keep
+    the swapped-in layout, and NOT fold the stale delta a second time
+    (duplicated index rows would double-count candidate pairs)."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    t = "t_crash_post"
+    _cleanup(spark, t)
+    try:
+        _mk_index(spark, t)
+        expected = _probe_pairs(spark, t)
+        _simulate_crash_between_renames(spark, t)
+        spark.sql(f"ALTER TABLE {t}__compact RENAME TO {t}")
+
+        DD.compact_index(spark, t)
+        for suffix in ("__delta", "__compact", "__old"):
+            assert not spark.catalog.tableExists(f"{t}{suffix}"), suffix
+        assert _probe_pairs(spark, t) == expected
+    finally:
+        _cleanup(spark, t)
+
+
+def test_append_after_crash_rolls_back_first(spark):
+    """An append that arrives after a mid-swap crash must not land in a
+    delta the next compaction's roll-forward would discard: append runs
+    recovery first, the rolled-back index accepts the batch, and the
+    probe sees it."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    t = "t_crash_append"
+    _cleanup(spark, t)
+    try:
+        _mk_index(spark, t)
+        _simulate_crash_between_renames(spark, t)
+
+        late = spark.createDataFrame(
+            [(5000, f"{BASE} batch marker 1")], "doc_id long, text string",
+        )
+        DD.append_to_minhash_index(spark, late, t, "doc_id", "text")
+        assert spark.catalog.tableExists(t)
+        pairs = _probe_pairs(spark, t)
+        assert any(b == 5000 for _a, b in pairs), (
+            f"late append invisible after crash recovery: {sorted(pairs)}"
+        )
+        DD.compact_index(spark, t)
+        assert _probe_pairs(spark, t) == pairs
+    finally:
+        _cleanup(spark, t)
+
+
+def test_compact_clears_orphaned_locations(spark):
+    """A dead SESSION leaves warehouse directories with no catalog entry
+    (the in-memory catalog forgets, the filesystem doesn't); plain DROP
+    TABLE IF EXISTS cannot clear them and write_bucketed/RENAME then
+    fails with LOCATION_ALREADY_EXISTS. compact_index must clear stray
+    __compact/__old locations on entry and succeed."""
+    import os
+
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    t = "t_crash_orphan"
+    _cleanup(spark, t)
+    try:
+        _mk_index(spark, t)
+        expected = _probe_pairs(spark, t)
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for suffix in ("__compact", "__old"):
+            d = os.path.join(wh, f"{t}{suffix}".lower())
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "stray.parquet"), "w") as f:
+                f.write("not a real parquet file")
+
+        DD.compact_index(spark, t)
+        assert _probe_pairs(spark, t) == expected
+        assert not spark.catalog.tableExists(f"{t}__delta")
+    finally:
+        _cleanup(spark, t)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_refine offset guard (ADVICE r06 #4)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_refine_guard_raises_on_out_of_range(spark):
+    """A component <= -KM_OFFSET micros used to TRUNCATE instead of
+    floor in the centroid div, silently mis-clustering; now it raises
+    with the offset named. In-range negatives (> -16.777216) keep
+    working."""
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    def emb_df(low):
+        rows = [(i, [0.1 * i, -0.2, 0.3, float(low) if i == 3 else 0.5])
+                for i in range(10)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    bad = SIM.kmeans_refine(emb_df(-20.0), n_pivots=2)
+    with pytest.raises(Exception, match="KM_OFFSET"):
+        bad.collect()
+
+    ok = SIM.kmeans_refine(emb_df(-16.0), n_pivots=2).collect()
+    assert len(ok) == 10
+    assert {r["vec_id"] for r in ok} == set(range(10))
