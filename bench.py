@@ -37,8 +37,41 @@ REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATION", "20"))
 QUIET_LOAD = float(
     os.environ.get("SPARK_GRAFT_QUIET_LOAD", str(max(6.0, CPUS * 0.6)))
 )
+# Stricter ceiling for the HEADLINE records (VERDICT r06 #2): a headline
+# minimum is only ACCEPTED from a pass whose start load was <= CPUS/4 —
+# the sweep threshold (0.6*CPUS) exists to classify breadth passes after
+# the bench has been saturating the box for minutes, but the headline
+# rows are the record of truth the judge compares round-over-round, so
+# they are measured FIRST (before the engine shootout pollutes the 1-min
+# average) with a short load-drain gate before each record.
+HEADLINE_QUIET_LOAD = float(
+    os.environ.get("SPARK_GRAFT_HEADLINE_QUIET_LOAD",
+                   str(max(2.0, CPUS / 4)))
+)
+# total seconds the headline phase may spend sleeping for load to drain
+GATE_SLEEP_BUDGET_S = int(
+    os.environ.get("SPARK_GRAFT_GATE_SLEEP_BUDGET_S", "420")
+)
 RETIME_SLEEP_S = int(os.environ.get("SPARK_GRAFT_RETIME_SLEEP_S", "20"))
 RETIME_BUDGET = int(os.environ.get("SPARK_GRAFT_RETIME_BUDGET", "18"))
+# headline-only mode: skip the breadth sweep (used for standalone quiet
+# per-query records appended to BENCH/BASELINE.md)
+HEADLINE_ONLY = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY", "") == "1"
+
+# Queries whose sweep timing is dominated by their sandbox HARNESS
+# ADAPTER, not the operator: the streaming rows stage input parquet,
+# spin up a StreamingQuery, and poll a sink (5-26 s of trigger/poll
+# quantization around millisecond-scale operators — PLANS.md), and
+# corpus_job_survivors runs the full three-stage pipeline with real
+# parquet writes between stages. Their timings are reported in a
+# SEPARATE map so a reader never mistakes adapter cost for operator cost
+# (VERDICT r06 #5).
+ADAPTER_TIMED = {
+    "sessionize_streaming",
+    "conversation_progress",
+    "streaming_extract_nofuzzy",
+    "corpus_job_survivors",
+}
 
 # Headline driver-contract queries (cheap ones excluded; these exercise the
 # interesting plans: regex-heavy scans, window top-1, joins, ANN).
@@ -107,23 +140,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     registry = Q.queries()
 
-    # flagship extraction throughput. The replicated input is materialized
-    # as a multi-file parquet first (untimed): a single-file source would
-    # feed all workers through one serial scan task — an artifact of the
-    # small testdata, not of the pipeline (real inputs have >> cores splits).
-    import tempfile
-
-    staged = tempfile.mkdtemp(prefix="bench_transcripts_")
-    replicated_transcripts(spark, SF_DIR, REPLICATION).repartition(
-        CPUS
-    ).write.mode("overwrite").parquet(staged)
-    transcripts = spark.read.parquet(staged)
-    n_turns = transcripts.count()
-    dd = Q.default_drawer_dict()
-    # warmup pass (python workers + codegen), then min-of-3 measured runs
-    # (same noise rationale as timed()); the hybrid engine (all-JVM stages +
-    # Arrow fuzzy UDF) is measured alongside the default Arrow engine so the
-    # engine trade-off is visible per round.
     headline_passes: dict[str, list[float]] = {}
     # 1-min load average at the START of each pass: a shared-sandbox CPU
     # steal spike is then mechanically attributable (high load -> discard
@@ -136,6 +152,8 @@ def main() -> None:
     # ordinary contract queries and must time registry[rec] (ADVICE r05:
     # a bare prefix test silently timed the wrong computation for them).
     ENGINE_RECORDS = {"flagship_vectorized", "flagship_arrow", "flagship_hybrid"}
+    transcripts = None  # staged lazily, right before the engine shootout
+    dd = Q.default_drawer_dict()
 
     def run_record(rec: str) -> None:
         if rec in ENGINE_RECORDS:
@@ -158,17 +176,35 @@ def main() -> None:
         headline_passes.setdefault(rec, []).append(sec)
         return sec
 
-    engine_secs: dict[str, float] = {}
-    for eng in ("vectorized", "arrow", "hybrid"):
-        run_record(f"flagship_{eng}")       # warmup pass, untimed
-        # hybrid is the slowest and most noise-sensitive engine (many
-        # stages); 2 passes bound total bench wall without losing the signal
-        for _ in range(2 if eng == "hybrid" else 3):
-            one_pass(f"flagship_{eng}")
-        engine_secs[eng] = min(headline_passes[f"flagship_{eng}"])
-    flagship_sec = engine_secs["arrow"]
-    timings["flagship_extract"] = round(flagship_sec, 3)
-    turns_per_sec = n_turns / flagship_sec if flagship_sec else 0.0
+    gate_budget = [GATE_SLEEP_BUDGET_S]
+
+    def gate() -> None:
+        """Drain the 1-min load below the headline ceiling before a
+        record's first measured pass (the reading includes the bench's
+        own previous passes; the average decays with a ~60s constant, so
+        short sleeps buy quiet starts). Bounded by a global budget so a
+        genuinely hot box degrades to tagged-contaminated records
+        instead of an unbounded stall."""
+        while (os.getloadavg()[0] > HEADLINE_QUIET_LOAD
+               and gate_budget[0] > 0):
+            time.sleep(5)
+            gate_budget[0] -= 5
+
+    def quiet_passes(rec: str) -> list[float]:
+        return [
+            v for v, ld in zip(headline_passes[rec], pass_loads[rec])
+            if ld <= HEADLINE_QUIET_LOAD
+        ]
+
+    def timed(name: str, passes: int = 2) -> float:
+        """min of K passes: the shared sandbox shows intermittent multi-
+        second CPU-steal spikes (10-30s) that land on random queries; a
+        spike must hit the same query K times to survive min-of-K. All
+        passes are recorded so a noise-contaminated reading is visible as
+        such instead of looking like a regression."""
+        for _ in range(passes):
+            one_pass(name)
+        return round(min(headline_passes[name]), 3)
 
     # Warmup at the smallest SF: pays the one-time codegen/janino compile for
     # every plan shape (the generated code is path-independent, so the
@@ -182,52 +218,79 @@ def main() -> None:
         except Exception:
             pass
 
-    def timed(name: str, passes: int = 2) -> float:
-        """min of K passes: the shared sandbox shows intermittent multi-
-        second CPU-steal spikes (10-30s) that land on random queries; a
-        spike must hit the same query K times to survive min-of-K. All
-        passes are recorded so a noise-contaminated reading is visible as
-        such instead of looking like a regression."""
-        for _ in range(passes):
-            one_pass(name)
-        return round(min(headline_passes[name]), 3)
-
+    # HEADLINE phase FIRST (VERDICT r06 #2): these are the round-over-round
+    # record of truth, so they run before the engine shootout saturates the
+    # box, each record gated on a quiet start.
     for name in HEADLINE:
+        gate()
         timings[name] = timed(name, passes=3)
 
-    # Load-aware re-timing (VERDICT r04 #1): two consecutive rounds the
-    # archived minima came from contaminated passes and read as phantom
-    # regressions. Any record whose BEST pass started above QUIET_LOAD gets
-    # bounded extra passes (global budget, short pre-sleep for the spike to
-    # drain); the final record tags every headline min with the load of the
-    # pass that produced it, plus an explicit contaminated-after-retries
-    # list when the budget ran out while the box stayed hot.
-    def min_pass_load(rec: str) -> float:
-        vals, loads = headline_passes[rec], pass_loads[rec]
-        return loads[min(range(len(vals)), key=lambda j: vals[j])]
+    # flagship extraction throughput. The replicated input is materialized
+    # as a multi-file parquet first (untimed): a single-file source would
+    # feed all workers through one serial scan task — an artifact of the
+    # small testdata, not of the pipeline (real inputs have >> cores splits).
+    import tempfile
 
+    staged = tempfile.mkdtemp(prefix="bench_transcripts_")
+    replicated_transcripts(spark, SF_DIR, REPLICATION).repartition(
+        CPUS
+    ).write.mode("overwrite").parquet(staged)
+    transcripts = spark.read.parquet(staged)
+    n_turns = transcripts.count()
+    # warmup pass (python workers + codegen), then min-of-K measured runs
+    # (same noise rationale as timed()); the hybrid engine (all-JVM stages +
+    # Arrow fuzzy UDF) is measured alongside the default Arrow engine so the
+    # engine trade-off is visible per round.
+    engine_secs: dict[str, float] = {}
+    for eng in ("vectorized", "arrow", "hybrid"):
+        run_record(f"flagship_{eng}")       # warmup pass, untimed
+        gate()
+        # hybrid is the slowest and most noise-sensitive engine (many
+        # stages); 2 passes bound total bench wall without losing the signal
+        for _ in range(2 if eng == "hybrid" else 3):
+            one_pass(f"flagship_{eng}")
+
+    # Load-aware re-timing (VERDICT r04 #1, tightened r06 #2): any
+    # headline/engine record with NO pass under the headline ceiling gets
+    # bounded extra passes (global budget, short pre-sleep for the spike
+    # to drain); the final record tags every headline min with the load of
+    # the pass that produced it, plus an explicit contaminated list when
+    # the budget ran out while the box stayed hot.
     retime_budget = RETIME_BUDGET
-    retime_order = [f"flagship_{e}" for e in engine_secs] + list(HEADLINE)
+    retime_order = list(HEADLINE) + [f"flagship_{e}" for e in
+                                     ("vectorized", "arrow", "hybrid")]
     for rec in retime_order:
         for _ in range(2):                      # <= 2 retries per record
-            if min_pass_load(rec) <= QUIET_LOAD or retime_budget <= 0:
+            if quiet_passes(rec) or retime_budget <= 0:
                 break
-            if os.getloadavg()[0] > QUIET_LOAD:
+            if os.getloadavg()[0] > HEADLINE_QUIET_LOAD:
                 time.sleep(RETIME_SLEEP_S)      # give the spike a chance
             one_pass(rec)
             retime_budget -= 1
 
-    # fold re-timed minima back into the records
-    for eng in list(engine_secs):
-        engine_secs[eng] = min(headline_passes[f"flagship_{eng}"])
+    def accepted(rec: str) -> tuple[float, float]:
+        """(min_sec, its pass-start load), minimum over QUIET passes when
+        any exist (a steal spike can only inflate a pass, so restricting
+        to quiet starts never hides a regression); falls back to the
+        global min — visibly tagged via the load — when the budget ran
+        out hot."""
+        pairs = list(zip(headline_passes[rec], pass_loads[rec]))
+        quiet = [(v, ld) for v, ld in pairs if ld <= HEADLINE_QUIET_LOAD]
+        v, ld = min(quiet or pairs)
+        return round(v, 3), ld
+
+    for name in HEADLINE:
+        timings[name] = accepted(name)[0]
+    for eng in ("vectorized", "arrow", "hybrid"):
+        engine_secs[eng] = accepted(f"flagship_{eng}")[0]
     flagship_sec = engine_secs["arrow"]
     timings["flagship_extract"] = round(flagship_sec, 3)
     turns_per_sec = n_turns / flagship_sec if flagship_sec else 0.0
-    for name in HEADLINE:
-        timings[name] = round(min(headline_passes[name]), 3)
 
-    min_loads = {rec: min_pass_load(rec) for rec in retime_order}
-    contaminated = sorted(r for r, ld in min_loads.items() if ld > QUIET_LOAD)
+    min_loads = {rec: accepted(rec)[1] for rec in retime_order}
+    contaminated = sorted(
+        r for r, ld in min_loads.items() if ld > HEADLINE_QUIET_LOAD
+    )
 
     total = round(sum(timings.values()), 3)
 
@@ -235,21 +298,32 @@ def main() -> None:
     # kept stable round-over-round; this sweep makes regressions in
     # non-headline queries visible in BENCH_r{N}.json). flagship_extract is
     # skipped here — it is measured above on the replicated input.
+    # Adapter-timed rows (streaming staging/poll harnesses, the staged
+    # corpus_job pipeline) go in their OWN map: their wall time is
+    # dominated by the harness, not the operator, and must never be read
+    # as operator cost next to the real sweep rows.
     all_timings: dict[str, float] = {}
-    for name, fn in sorted(registry.items()):
-        if name in timings or name == "flagship_extract":
-            continue
-        try:
-            # single pass: breadth visibility, bounded total bench time
-            all_timings[name] = timed(name, passes=1)
-        except Exception as exc:
-            all_timings[name] = -1.0
-            print(f"# bench sweep error {name}: {exc}", file=sys.stderr)
+    adapter_timings: dict[str, float] = {}
+    if not HEADLINE_ONLY:
+        for name, fn in sorted(registry.items()):
+            if name in timings or name == "flagship_extract":
+                continue
+            sink = adapter_timings if name in ADAPTER_TIMED else all_timings
+            try:
+                # single pass: breadth visibility, bounded total bench time
+                sink[name] = timed(name, passes=1)
+            except Exception as exc:
+                sink[name] = -1.0
+                print(f"# bench sweep error {name}: {exc}", file=sys.stderr)
     # Output protocol (VERDICT r03 #3): the driver captures the TAIL of
     # stdout, so the big detail maps go on their own earlier lines and the
     # LAST line is a short, self-contained metric record guaranteed to
     # survive tail truncation.
-    print(json.dumps({"record": "all_queries", "all_queries": all_timings}))
+    print(json.dumps({
+        "record": "all_queries",
+        "all_queries": all_timings,
+        "adapter_timed_queries": adapter_timings,
+    }))
     print(json.dumps({
         "record": "headline_passes",
         "headline_passes": headline_passes,
@@ -262,7 +336,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "n_queries": len(timings) + len(all_timings),
+                "n_queries": (len(timings) + len(all_timings)
+                              + len(adapter_timings)),
+                "adapter_timed": sorted(adapter_timings),
                 "sf": sf,
                 "flagship_turns": n_turns,
                 "flagship_turns_per_sec": round(turns_per_sec, 1),
@@ -273,6 +349,8 @@ def main() -> None:
                 "cpus": CPUS,
                 "load_avg": round(os.getloadavg()[0], 2),
                 "quiet_load_threshold": QUIET_LOAD,
+                "headline_quiet_load_threshold": HEADLINE_QUIET_LOAD,
+                "gate_sleep_spent_s": GATE_SLEEP_BUDGET_S - gate_budget[0],
                 "min_pass_loads": min_loads,
                 "contaminated_after_retries": contaminated,
             }
