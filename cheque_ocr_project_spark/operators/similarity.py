@@ -312,6 +312,83 @@ KM_OFFSET = 1 << 24  # micros offset making centroid numerators non-negative
                      # (covers |component| < 16.7 embedding units)
 
 
+def seed_assignment(emb: DataFrame, n_pivots: int = 8,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster0): each vector's nearest hash-sampled pivot by exact
+    integer-micros squared-L2 — the shared clustering scaffold of
+    kmeans_refine (its seed step) and semantic_dedup (its cell key), so
+    the two operators can never disagree about what a cluster is. Ties
+    break on the smaller pivot id (built into the struct order). Scale
+    shape: k-row broadcast cross join + a min(struct) agg — map-side
+    combinable, NO window."""
+    # integer diffs in the zip_with, squaring in the aggregate lambda:
+    # Catalyst does not CSE inside higher-order-function lambdas, so
+    # writing the squared diff inline would pay the float->double
+    # multiply+floor+cast four times per (vector, pivot, dim) in the
+    # hottest n*k*dim stage instead of two
+    dist0 = F.expr(
+        f"""aggregate(
+          zip_with({vec_col}, pvec, (x, y) ->
+            CAST(floor(x * 1000000.0) AS BIGINT)
+            - CAST(floor(y * 1000000.0) AS BIGINT)),
+          CAST(0 AS BIGINT), (acc, d) -> acc + d * d)"""
+    )
+    pivots = ivf_pivots(emb, n_pivots, id_col, vec_col)
+    return (
+        emb.crossJoin(F.broadcast(pivots))
+        .select(id_col, "pivot_id", dist0.alias("dist"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist", "pivot_id")).alias("m"))
+        .select(id_col, F.col("m.pivot_id").alias("cluster0"))
+    )
+
+
+def semantic_dedup(emb: DataFrame, n_pivots: int = 8,
+                   threshold: float = 0.3, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest hash-sampled pivot cell
+    (seed_assignment), compare pairs ONLY within a cell, and drop any
+    vector that has a smaller-id cell-mate with cosine >= threshold.
+    Returns the survivors as ``(vec_id, cluster)``.
+
+    The greedy smaller-id-wins rule (not connected components) is the
+    paper's shape: one pass, deterministic, and a duplicate CHAIN keeps
+    exactly its smallest id even when the chain crosses dropped
+    members — a vector is dropped for having ANY kept-or-dropped
+    smaller similar neighbor, which is well-defined without iteration.
+
+    Scale shape: the pairwise compare is quadratic WITHIN a cell by
+    design — the scale knob is k itself (choose n_pivots ~ n/cell so
+    cells stay bounded; the paper runs k in the tens of thousands at
+    web scale), unlike the LSH ops where bucket sizes are
+    data-dependent and need a cap. The cell equi-join is the only
+    corpus x corpus shuffle and it is key-bounded by construction;
+    the drop set is a broadcast-size anti-join in expectation
+    (duplicates are rare past the gate)."""
+    assign = seed_assignment(emb, n_pivots, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col("cluster0").alias("cluster")
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sides = assign.join(vecs, "id")
+    left = sides.select(F.col("id").alias("id_a"), "cluster",
+                        F.col("v").alias("va"))
+    right = sides.select(F.col("id").alias("id_b"), "cluster",
+                         F.col("v").alias("vb"))
+    pairs = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        assign.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cluster")
+    )
+
+
 def kmeans_refine(emb: DataFrame, n_pivots: int = 8, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """One deterministic Lloyd iteration over ``ivf_pivots``' hash-sampled
@@ -345,26 +422,7 @@ def kmeans_refine(emb: DataFrame, n_pivots: int = 8, id_col: str = "vec_id",
     k*dim rows and broadcasts back; re-assignment cost n*dim*k is the
     inherent Lloyd work, re-combined map-side twice (per (vec,cluster),
     then argmin per vec)."""
-    # integer diffs in the zip_with, squaring in the aggregate lambda:
-    # Catalyst does not CSE inside higher-order-function lambdas, so
-    # writing the squared diff inline would pay the float->double
-    # multiply+floor+cast four times per (vector, pivot, dim) in the
-    # hottest n*k*dim stage instead of two
-    dist0 = F.expr(
-        f"""aggregate(
-          zip_with({vec_col}, pvec, (x, y) ->
-            CAST(floor(x * 1000000.0) AS BIGINT)
-            - CAST(floor(y * 1000000.0) AS BIGINT)),
-          CAST(0 AS BIGINT), (acc, d) -> acc + d * d)"""
-    )
-    pivots = ivf_pivots(emb, n_pivots, id_col, vec_col)
-    assign0 = (
-        emb.crossJoin(F.broadcast(pivots))
-        .select(id_col, "pivot_id", dist0.alias("dist"))
-        .groupBy(id_col)
-        .agg(F.min(F.struct("dist", "pivot_id")).alias("m"))
-        .select(id_col, F.col("m.pivot_id").alias("cluster0"))
-    )
+    assign0 = seed_assignment(emb, n_pivots, id_col, vec_col)
     dims = (
         emb.join(assign0, id_col)
         .select(id_col, "cluster0", F.posexplode(vec_col).alias("dim", "val"))

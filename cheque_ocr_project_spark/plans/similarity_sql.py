@@ -194,15 +194,14 @@ scored AS (
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}"""
 
 
-def sql_kmeans_refine(n_pivots: int = 8) -> str:
-    """Twin of similarity.kmeans_refine: identical hash-sampled seeds,
-    integer-micros distances, and offset floor-div centroids. DuckDB's
-    sum(BIGINT) widens to HUGEINT, so the centroid mean and every
-    squared-distance comparison happen in HUGEINT there — values are far
-    below either bound, and cm is cast back to BIGINT to match Spark."""
-    off = SIM.KM_OFFSET
-    return f"""
-WITH {pivots_cte(n_pivots)}, vd0 AS (
+def seed_assign_ctes(n_pivots: int) -> str:
+    """The hash-sampled-pivot seed ASSIGNMENT chain (pivots → exploded
+    integer micros → per-(vec, pivot) exact squared-L2 → argmin cell
+    ``a0(vec_id, cluster0)``) — the load-bearing SQL mirror of
+    similarity.seed_assignment, rendered from one definition so
+    sql_kmeans_refine and sql_semantic_dedup can never disagree about
+    what a cluster is (the same single-source rule as pivots_cte)."""
+    return f"""{pivots_cte(n_pivots)}, vd0 AS (
   SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
          unnest(embedding) AS val
   FROM embeddings
@@ -225,7 +224,38 @@ WITH {pivots_cte(n_pivots)}, vd0 AS (
                               ORDER BY dist ASC, pivot_id ASC) AS rn
     FROM d0
   ) WHERE rn = 1
-), cd AS (
+)"""
+
+
+def sql_semantic_dedup(n_pivots: int = 8, threshold: float = 0.3) -> str:
+    """Twin of similarity.semantic_dedup: same seed cells
+    (seed_assign_ctes), round-4 cosine over the raw float vectors among
+    cell-mates, greedy smaller-id-wins survivor rule."""
+    sim = COSINE.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH {seed_assign_ctes(n_pivots)},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM a0 a
+  JOIN a0 b ON a.cluster0 = b.cluster0 AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {sim} >= {threshold}
+),
+dropped AS (SELECT DISTINCT id_b FROM pairs)
+SELECT a0.vec_id, a0.cluster0 AS cluster
+FROM a0 ANTI JOIN dropped ON a0.vec_id = dropped.id_b"""
+
+
+def sql_kmeans_refine(n_pivots: int = 8) -> str:
+    """Twin of similarity.kmeans_refine: identical hash-sampled seeds,
+    integer-micros distances, and offset floor-div centroids. DuckDB's
+    sum(BIGINT) widens to HUGEINT, so the centroid mean and every
+    squared-distance comparison happen in HUGEINT there — values are far
+    below either bound, and cm is cast back to BIGINT to match Spark."""
+    off = SIM.KM_OFFSET
+    return f"""
+WITH {seed_assign_ctes(n_pivots)}, cd AS (
   SELECT a0.cluster0 AS cluster, vd.dim,
          CAST((sum(vd.pm) + count(*) * {off}) // count(*) - {off} AS BIGINT)
            AS cm

@@ -263,3 +263,73 @@ def test_kmeans_refine_guard_raises_on_out_of_range(spark):
     ok = SIM.kmeans_refine(emb_df(-16.0), n_pivots=2).collect()
     assert len(ok) == 10
     assert {r["vec_id"] for r in ok} == set(range(10))
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup-style cell-bounded embedding dedup
+# ---------------------------------------------------------------------------
+
+def _write_embeddings(tmp_path, rows):
+    """rows = [(vec_id, [floats])] -> embeddings.parquet."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_semantic_dedup_drops_planted_clones_keeps_min_id(spark, tmp_path):
+    """Planted positives: an exact clone and a SCALED clone (cosine 1.0,
+    different norm) of existing vectors must be dropped — the smaller
+    original id survives — while mutually orthogonal vectors all
+    survive (cosine 0 < tau). Scaling invariance matters: semantic
+    duplication is directional, so an L2-near-dup rule would miss the
+    scaled copy."""
+    dim = 16
+    base = [(i, [1.0 if d == i else 0.0 for d in range(dim)])
+            for i in range(10)]
+    clones = [
+        (100, [1.0 if d == 2 else 0.0 for d in range(dim)]),   # exact
+        (101, [0.9 if d == 3 else 0.0 for d in range(dim)]),   # scaled
+    ]
+    sf = _write_embeddings(tmp_path, base + clones)
+    out = {(r["vec_id"], r["cluster"])
+           for r in Q.q_semantic_dedup(spark, sf).collect()}
+    kept = {v for v, _c in out}
+    assert kept == set(range(10)), kept
+
+    # plan lock: the survivor path is agg + anti-join — ZERO windows
+    # (the argmin is min(struct)); the only corpus x corpus shuffle is
+    # the cell equi-join, never a nested loop
+    plan = (Q.q_semantic_dedup(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_chain_keeps_only_min_id(spark, tmp_path):
+    """A duplicate CHAIN (three copies of one direction) keeps exactly
+    the smallest id: every later copy has a smaller similar cell-mate,
+    kept or not — the greedy rule needs no iteration. n_pivots=1 forces
+    one cell so the chain semantics are tested in isolation (with
+    k >= n every vector is its own pivot and dedup is vacuously a
+    no-op — the k knob IS the scale/recall trade)."""
+    from cheque_ocr_project_spark.operators import similarity as SIM
+
+    dim = 16
+    rows = [(7, [1.0] + [0.0] * (dim - 1)),
+            (8, [0.5] + [0.0] * (dim - 1)),
+            (9, [2.0] + [0.0] * (dim - 1)),
+            (3, [0.0, 1.0] + [0.0] * (dim - 2))]
+    sf = _write_embeddings(tmp_path, rows)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    kept = {r["vec_id"]
+            for r in SIM.semantic_dedup(emb, n_pivots=1,
+                                        threshold=0.3).collect()}
+    assert kept == {3, 7}, kept
