@@ -371,15 +371,29 @@ def semantic_dedup(emb: DataFrame, n_pivots: int = 8,
         F.col(id_col).alias("id"), F.col("cluster0").alias("cluster")
     )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sides = assign.join(vecs, "id")
+    # hoist the norms out of the pairwise stage: _cosine would recompute
+    # BOTH norms per pair (3x the lambda work in the one quadratic
+    # stage); sqrt over the same array is deterministic, so the product
+    # na*nb — and the round-4 cosine — is bit-identical to the inline
+    # form the oracle uses
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    sides = assign.join(vecs, "id").withColumn("nrm", norm)
     left = sides.select(F.col("id").alias("id_a"), "cluster",
-                        F.col("v").alias("va"))
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
     right = sides.select(F.col("id").alias("id_b"), "cluster",
-                         F.col("v").alias("vb"))
+                         F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
     pairs = (
         left.join(right, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cosine",
+            F.round(F.try_divide(dot, F.col("na") * F.col("nb")), 4),
+        )
         .filter(F.col("cosine") >= threshold)
     )
     dropped = pairs.select(F.col("id_b").alias("id")).distinct()
