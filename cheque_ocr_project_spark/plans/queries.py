@@ -1642,6 +1642,86 @@ def _sql_simhash_incremental():
     return dedup_sql.sql_simhash_incremental(max_hamming=3)
 
 
+MINHASH_NOVELTY_TABLE = "minhash_novelty_idx"
+# id-ordered arrival batches for the novelty filter: fixed boundaries so
+# the decomposition is deterministic for ANY id distribution (the
+# large-id fuzz sweep included — an empty batch is just a no-op probe).
+# At the contract SFs this splits originals across two batches and the
+# clones into the third, so within-batch pairs, index probes, AND delta
+# probes all must fire for the oracle hash to match.
+NOVELTY_BATCH_BOUNDS = ((None, 250), (250, 1000000), (1000000, None))
+
+
+def q_minhash_novelty(spark, sf_dir):
+    """Sequential-ingest novelty filter — the rolling-dedup composition
+    a 100 TB crawl pipeline actually runs (graft analog of the
+    reference's incremental master loop, issuer_processor_v.py:244-258):
+    documents arrive in id order in batches; each batch is compared
+    against everything seen so far (the persisted LSH index + delta)
+    AND against itself, docs with an earlier near-dup are dropped, and
+    the whole batch is appended to the index. A doc is NOVEL iff it has
+    no LSH near-dup (64/16/5, est_jaccard >= 0.5) with ANY smaller id —
+    the same greedy smaller-id-wins rule as semantic_dedup, which is
+    exactly what the batched machinery computes when batches are
+    id-ordered: within-batch pairs drop the larger id, cross-batch
+    pairs drop the probe (arrived later). The oracle is the FULL
+    one-shot recompute's survivor set, so a probe that missed the
+    delta, an append banded under the wrong geometry, or a batch that
+    skipped its own internal pairs all break the hash.
+
+    Scale shape: each batch pays one banding pass + the bucketed index
+    join (exchange-free on the corpus side) + the small delta join;
+    the seen-corpus is never re-banded — the LSM index amortizes it."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    t = MINHASH_NOVELTY_TABLE
+    _drop_table_and_location(spark, t)
+    _drop_table_and_location(spark, f"{t}__delta")
+    dropped = []
+    index_live = False
+    for lo, hi in NOVELTY_BATCH_BOUNDS:
+        b = docs
+        if lo is not None:
+            b = b.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") < hi)
+        # within-batch: the larger id of each pair arrived later
+        within = DD.minhash_lsh_pairs(
+            b, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
+            threshold=0.5,
+        )
+        dropped.append(within.select(F.col("id_b").alias("doc_id")))
+        if not index_live:
+            DD.persist_minhash_index(b, t, "doc_id", "text", n_buckets=8)
+            index_live = True
+        else:
+            # cross-batch: pair identity is (new id, corpus id) — the
+            # new doc is always the later arrival under id-ordered
+            # batches, so id_a is the drop
+            cross = DD.incremental_minhash_pairs(
+                spark, b, t, "doc_id", "text", threshold=0.5
+            )
+            dropped.append(cross.select(F.col("id_a").alias("doc_id")))
+            DD.append_to_minhash_index(spark, b, t, "doc_id", "text")
+    all_dropped = reduce(lambda a, c: a.unionByName(c), dropped).distinct()
+    return (
+        docs.join(all_dropped, "doc_id", "left_anti")
+        .select("doc_id", F.length("text").alias("text_len"))
+    )
+
+
+def _sql_minhash_novelty():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    pair_sql = dedup_sql.sql_minhash_near_dup(threshold=0.5)
+    return f"""
+WITH pairs AS ({pair_sql}),
+dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs),{dedup_sql.DOCS_WITH_NEAR_DUPS_CTE.lstrip()}
+SELECT d.doc_id, length(d.text) AS text_len
+FROM docs d ANTI JOIN dropped ON d.doc_id = dropped.doc_id"""
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing fingerprints (rolling-hash k-grams → window minima): any
     shared substring of length >= k + w - 1 yields a shared fingerprint —
@@ -4565,6 +4645,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_incremental": (q_minhash_incremental, _sql_minhash_incremental),
     "simhash_incremental": (q_simhash_incremental, _sql_simhash_incremental),
     "minhash_compacted": (q_minhash_compacted, _sql_minhash_incremental),
+    "minhash_novelty": (q_minhash_novelty, _sql_minhash_novelty),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
     "dedup_survivors": (q_dedup_survivors, _sql_dedup_survivors),
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
@@ -4669,11 +4750,12 @@ REGISTRY: dict[str, tuple] = {
 # grammar family), `embedding_lsh_near_dup` (its capped sibling stays),
 # and `ann_lsh_topk` (its capped sibling stays AND the new multiprobe
 # row re-proves the same banding machinery plus the probe extension).
-# `semantic_dedup` (added late in round 7, after the head was full)
-# takes the 51st slot and LEADS r08 — the same handling round 6 gave
-# its own late additions. None of the ten is unchecked meanwhile:
-# tests/test_driver_contract.py sweeps every oracle-backed query against
-# the same DuckDB comparison on every CI run.
+# `semantic_dedup` and `minhash_novelty` (added late in round 7, after
+# the head was full) take the 51st/52nd slots and LEAD r08 — the same
+# handling round 6 gave its own late additions. None of the eleven is
+# unchecked meanwhile: tests/test_driver_contract.py sweeps every
+# oracle-backed query against the same DuckDB comparison on every CI
+# run.
 _CHECK_FIRST = (
     # the six r04-carries — promised the r07 lead, delivered
     "media_resize", "media_frame_sample", "qa_extract", "t5_spell",
@@ -4695,8 +4777,8 @@ _CHECK_FIRST = (
     "ner_entities", "score_name", "govt_entity", "officer_designation",
     "filename_fields", "line_confidence", "window_order",
     "containment_match", "main_content_plain", "fast_pattern_extract",
-    # 51st-60th — the documented carry-overs to the r08 lead
-    "semantic_dedup",
+    # 51st-61st — the documented carry-overs to the r08 lead
+    "semantic_dedup", "minhash_novelty",
     "pricing_summary", "revenue_by_nation", "top_customers",
     "clean_text", "clean_text_v2", "junk_flag", "for_first3",
     "embedding_lsh_near_dup", "ann_lsh_topk",

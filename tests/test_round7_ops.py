@@ -339,3 +339,42 @@ def test_semantic_dedup_chain_keeps_only_min_id(spark, tmp_path):
             for r in SIM.semantic_dedup(emb, n_pivots=1,
                                         threshold=0.3).collect()}
     assert kept == {3, 7}, kept
+
+
+# ---------------------------------------------------------------------------
+# minhash_novelty — sequential-ingest novelty filter
+# ---------------------------------------------------------------------------
+
+def test_minhash_novelty_every_arrival_path_fires(spark, tmp_path):
+    """Planted duplicates force each of the three detection paths to
+    drop a doc: a within-batch pair (both copies in batch 1), an
+    index-probe pair (batch-2 copy of a batch-1 doc), and a DELTA-probe
+    pair (batch-3 copy of a batch-2 doc — batch 2 lives only in the
+    unbucketed delta when batch 3 probes). A silently skipped path
+    leaves its duplicate in the survivors. Ids avoid doc_id % 7 == 0 so
+    the _docs_with_near_dups clone transform plants nothing extra."""
+    import pandas as pd
+
+    a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    b = ("one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+    c = ("completely novel content about maritime navigation and the "
+         "careful calibration of brass instruments at sea in winter")
+    rows = [
+        (10, a), (20, a),          # batch 1: within-batch dup -> drop 20
+        (300, a),                  # batch 2 vs INDEX -> drop 300
+        (400, b),                  # batch 2, novel
+        (1000500, b),              # batch 3 vs DELTA (b seen only in
+                                   # the delta) -> drop 1000500
+        (1000600, c),              # batch 3, novel
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["lang"], df["source"] = "en", "s"
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    kept = {r["doc_id"]
+            for r in Q.q_minhash_novelty(spark, str(tmp_path)).collect()}
+    assert kept == {10, 400, 1000600}, kept
