@@ -725,6 +725,103 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM agg"""
 
 
+# CCNet-style head/middle/tail thresholds on the mean-token-frequency
+# ppm, calibrated to BIND at sf0.01 (freq_ppm spans 30575-34064 there;
+# p10/p50/p90 = 33058/33341/33532): all three buckets non-empty, so the
+# driver hash proves the bucketing logic, not just that rows flowed.
+FREQ_HEAD_PPM = 33400
+FREQ_MIDDLE_PPM = 33100
+
+
+def q_token_freq_buckets(spark, sf_dir):
+    """Quality bucketing by language-model-frequency proxy — the CCNet
+    discipline (Wenzek et al. 2020 split web text into head/middle/tail
+    by LM perplexity; the deterministic, oracle-provable analog scores
+    each document by the MEAN corpus frequency of its tokens). Common
+    fluent text lands in the head; hapax-dense noise lands in the tail;
+    training mixes then sample per bucket. Output: (doc_id, n_tokens,
+    freq_ppm, bucket), one row per document — token-less docs score 0
+    (tail), a filter op must pass a verdict on EVERY doc.
+
+    Exactness: freq_ppm = floor(sum(cnt) * 1e6 / (n_tokens * N)) in
+    DECIMAL(38,0)/HUGEINT — the numerator and the n*N denominator both
+    overflow int64 at web scale, but the QUOTIENT is a mean relative
+    frequency <= 1e6, so the final long cast can never wrap (the
+    collocations lesson: check the quotient's range, not just the
+    operands').
+
+    Scale shape: one explode; the term-count join is UNHINTED (the
+    vocabulary is unbounded at web scale — AQE broadcasts when it
+    fits); per-doc agg re-combines map-side; the corpus total rides a
+    1-row broadcast cross join; the documents join-back is on the
+    high-cardinality doc_id."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("long").alias("total"))
+    per_doc = (
+        toks.join(uni, "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("cnt").alias("sum_cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST((CAST(sum_cnt AS DECIMAL(38,0)) * 1000000) div "
+                "(CAST(n_tokens AS DECIMAL(38,0)) * total) AS BIGINT)"
+            ).alias("freq_ppm"),
+        )
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("freq_ppm", F.lit(0)).alias("freq_ppm"),
+    )
+    return out.withColumn(
+        "bucket",
+        F.when(F.col("freq_ppm") >= FREQ_HEAD_PPM, "head")
+        .when(F.col("freq_ppm") >= FREQ_MIDDLE_PPM, "middle")
+        .otherwise("tail"),
+    )
+
+
+def sql_token_freq_buckets():
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), uni AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+), n AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni
+), per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         CAST((CAST(sum(u.cnt) AS HUGEINT) * 1000000) //
+              (CAST(count(*) AS HUGEINT) * any_value(n.total)) AS BIGINT)
+           AS freq_ppm
+  FROM toks t JOIN uni u USING (term) CROSS JOIN n
+  GROUP BY t.doc_id
+), filled AS (
+  SELECT d.doc_id,
+         CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         coalesce(p.freq_ppm, 0) AS freq_ppm
+  FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+)
+SELECT doc_id, n_tokens, freq_ppm,
+       CASE WHEN freq_ppm >= {FREQ_HEAD_PPM} THEN 'head'
+            WHEN freq_ppm >= {FREQ_MIDDLE_PPM} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM filled"""
+
+
 def q_source_token_budget(spark, sf_dir):
     """Training-mix accounting: per-source whitespace-token totals and
     the corpus share in integer parts-per-million. Overflow note: the
@@ -4661,6 +4758,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "vocab_topk": (q_vocab_topk, sql_vocab_topk),
     "oov_rate": (q_oov_rate, sql_oov_rate),
+    "token_freq_buckets": (q_token_freq_buckets, sql_token_freq_buckets),
     "source_token_budget": (q_source_token_budget, sql_source_token_budget),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join_binned": (q_range_join_binned, SQL_RANGE_JOIN),
@@ -4750,12 +4848,12 @@ REGISTRY: dict[str, tuple] = {
 # grammar family), `embedding_lsh_near_dup` (its capped sibling stays),
 # and `ann_lsh_topk` (its capped sibling stays AND the new multiprobe
 # row re-proves the same banding machinery plus the probe extension).
-# `semantic_dedup` and `minhash_novelty` (added late in round 7, after
-# the head was full) take the 51st/52nd slots and LEAD r08 — the same
-# handling round 6 gave its own late additions. None of the eleven is
-# unchecked meanwhile: tests/test_driver_contract.py sweeps every
-# oracle-backed query against the same DuckDB comparison on every CI
-# run.
+# `semantic_dedup`, `minhash_novelty`, and `token_freq_buckets` (added
+# late in round 7, after the head was full) take the 51st-53rd slots
+# and LEAD r08 — the same handling round 6 gave its own late additions.
+# None of the twelve is unchecked meanwhile:
+# tests/test_driver_contract.py sweeps every oracle-backed query
+# against the same DuckDB comparison on every CI run.
 _CHECK_FIRST = (
     # the six r04-carries — promised the r07 lead, delivered
     "media_resize", "media_frame_sample", "qa_extract", "t5_spell",
@@ -4777,8 +4875,8 @@ _CHECK_FIRST = (
     "ner_entities", "score_name", "govt_entity", "officer_designation",
     "filename_fields", "line_confidence", "window_order",
     "containment_match", "main_content_plain", "fast_pattern_extract",
-    # 51st-61st — the documented carry-overs to the r08 lead
-    "semantic_dedup", "minhash_novelty",
+    # 51st-62nd — the documented carry-overs to the r08 lead
+    "semantic_dedup", "minhash_novelty", "token_freq_buckets",
     "pricing_summary", "revenue_by_nation", "top_customers",
     "clean_text", "clean_text_v2", "junk_flag", "for_first3",
     "embedding_lsh_near_dup", "ann_lsh_topk",

@@ -378,3 +378,43 @@ def test_minhash_novelty_every_arrival_path_fires(spark, tmp_path):
     kept = {r["doc_id"]
             for r in Q.q_minhash_novelty(spark, str(tmp_path)).collect()}
     assert kept == {10, 400, 1000600}, kept
+
+
+# ---------------------------------------------------------------------------
+# token_freq_buckets — CCNet-style head/middle/tail by frequency proxy
+# ---------------------------------------------------------------------------
+
+def test_token_freq_buckets_planted_extremes(spark, tmp_path):
+    """A document of corpus-dominant words must land in the head, a
+    hapax-only document in the tail, and a token-less document must
+    still get a row (0 tokens, freq 0, tail) — a filter op passes a
+    verdict on EVERY doc."""
+    import pandas as pd
+
+    common = ("the " * 200).strip()           # 'the' dominates the corpus
+    hapax = "zqv wxk jmb prt lsd fgh"          # six singletons
+    rows = [(1, common, "s"), (2, hapax, "s"), (3, "", "s"),
+            (4, "the the filler words here", "s")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df = df[["doc_id", "text", "lang", "source", "n_chars"]]
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = {r["doc_id"]: r
+           for r in Q.q_token_freq_buckets(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["bucket"] == "head", dict(out[1].asDict())
+    assert out[2]["bucket"] == "tail", dict(out[2].asDict())
+    assert out[3]["bucket"] == "tail" and out[3]["n_tokens"] == 0 \
+        and out[3]["freq_ppm"] == 0, dict(out[3].asDict())
+
+
+def test_token_freq_bucket_thresholds_bind_at_sf001(spark):
+    """All three buckets must be non-empty at the contract SF — a
+    threshold outside the corpus freq range would make the driver hash
+    insensitive to the bucketing logic."""
+    rows = Q.q_token_freq_buckets(spark, SF).collect()
+    buckets = {r["bucket"] for r in rows}
+    assert buckets == {"head", "middle", "tail"}, buckets
