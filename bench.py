@@ -70,6 +70,7 @@ ADAPTER_TIMED = {
     "sessionize_streaming",
     "conversation_progress",
     "streaming_extract_nofuzzy",
+    "streaming_novelty",
     "corpus_job_survivors",
 }
 

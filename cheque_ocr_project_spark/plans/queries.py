@@ -1819,6 +1819,60 @@ SELECT d.doc_id, length(d.text) AS text_len
 FROM docs d ANTI JOIN dropped ON d.doc_id = dropped.doc_id"""
 
 
+MINHASH_STREAM_NOVELTY_TABLE = "minhash_stream_novelty_idx"
+
+
+def q_streaming_novelty(spark, sf_dir):
+    """minhash_novelty's STREAMING twin — the rolling crawl-dedup loop
+    under Structured Streaming (streaming/stream.stream_novelty): the
+    id-ordered batches become one staged file each (mtimes forced
+    ascending so the file source's arrival order IS the id order),
+    foreachBatch probes the persisted LSH index + delta and itself,
+    novel docs land in the real parquet sink, and every batch appends
+    to the index. Oracle = the SAME one-shot greedy-survivor SQL the
+    batch row uses, proving streaming ingest with external index state
+    emits bit-identical novelty verdicts to the batch decomposition.
+    The sweep timing for this row is adapter-dominated (staging +
+    trigger/poll quantization) — see bench.py ADAPTER_TIMED."""
+    import os
+    import tempfile
+
+    from cheque_ocr_project_spark.streaming import stream as ST
+
+    docs = _docs_with_near_dups(spark, sf_dir).select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="novelty_stream_in_")
+    base = 1_600_000_000
+    for i, (lo, hi) in enumerate(NOVELTY_BATCH_BOUNDS):
+        b = docs
+        if lo is not None:
+            b = b.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("doc_id") < hi)
+        part = tempfile.mkdtemp(prefix=f"novelty_part{i}_")
+        b.coalesce(1).write.mode("overwrite").parquet(part)
+        src = next(
+            f for f in os.listdir(part)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        os.replace(os.path.join(part, src), dst)
+        os.utime(dst, (base + i, base + i))
+
+    t = MINHASH_STREAM_NOVELTY_TABLE
+    _drop_table_and_location(spark, t)
+    _drop_table_and_location(spark, f"{t}__delta")
+    out_dir = tempfile.mkdtemp(prefix="novelty_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="novelty_stream_ckpt_")
+    q = ST.stream_novelty(spark, stage, out_dir, ckpt, t)
+    if not q.awaitTermination(240):
+        q.stop()
+        raise RuntimeError(
+            "streaming novelty did not terminate within 240s — refusing "
+            "to read a potentially partial sink"
+        )
+    return spark.read.parquet(out_dir).drop("batch_id")
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing fingerprints (rolling-hash k-grams → window minima): any
     shared substring of length >= k + w - 1 yields a shared fingerprint —
@@ -4743,6 +4797,7 @@ REGISTRY: dict[str, tuple] = {
     "simhash_incremental": (q_simhash_incremental, _sql_simhash_incremental),
     "minhash_compacted": (q_minhash_compacted, _sql_minhash_incremental),
     "minhash_novelty": (q_minhash_novelty, _sql_minhash_novelty),
+    "streaming_novelty": (q_streaming_novelty, _sql_minhash_novelty),
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
     "dedup_survivors": (q_dedup_survivors, _sql_dedup_survivors),
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
@@ -4848,12 +4903,12 @@ REGISTRY: dict[str, tuple] = {
 # grammar family), `embedding_lsh_near_dup` (its capped sibling stays),
 # and `ann_lsh_topk` (its capped sibling stays AND the new multiprobe
 # row re-proves the same banding machinery plus the probe extension).
-# `semantic_dedup`, `minhash_novelty`, and `token_freq_buckets` (added
-# late in round 7, after the head was full) take the 51st-53rd slots
-# and LEAD r08 — the same handling round 6 gave its own late additions.
-# None of the twelve is unchecked meanwhile:
-# tests/test_driver_contract.py sweeps every oracle-backed query
-# against the same DuckDB comparison on every CI run.
+# `semantic_dedup`, `minhash_novelty`, `streaming_novelty`, and
+# `token_freq_buckets` (added late in round 7, after the head was full)
+# take the 51st-54th slots and LEAD r08 — the same handling round 6
+# gave its own late additions. None of the thirteen is unchecked
+# meanwhile: tests/test_driver_contract.py sweeps every oracle-backed
+# query against the same DuckDB comparison on every CI run.
 _CHECK_FIRST = (
     # the six r04-carries — promised the r07 lead, delivered
     "media_resize", "media_frame_sample", "qa_extract", "t5_spell",
@@ -4875,8 +4930,9 @@ _CHECK_FIRST = (
     "ner_entities", "score_name", "govt_entity", "officer_designation",
     "filename_fields", "line_confidence", "window_order",
     "containment_match", "main_content_plain", "fast_pattern_extract",
-    # 51st-62nd — the documented carry-overs to the r08 lead
-    "semantic_dedup", "minhash_novelty", "token_freq_buckets",
+    # 51st-63rd — the documented carry-overs to the r08 lead
+    "semantic_dedup", "minhash_novelty", "streaming_novelty",
+    "token_freq_buckets",
     "pricing_summary", "revenue_by_nation", "top_customers",
     "clean_text", "clean_text_v2", "junk_flag", "for_first3",
     "embedding_lsh_near_dup", "ann_lsh_topk",

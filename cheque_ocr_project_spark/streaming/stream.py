@@ -86,6 +86,92 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+DOCS_STREAM_SCHEMA = "doc_id long, text string"
+
+
+def stream_novelty(spark: SparkSession, input_dir: str, output_dir: str,
+                   checkpoint_dir: str, index_table: str,
+                   num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                   threshold: float = 0.5, available_now: bool = True):
+    """Rolling-ingest novelty filter under Structured Streaming: each
+    micro-batch (one file per trigger — arrival order is the file
+    stream's mtime order) is compared against everything seen so far
+    (the persisted LSH index + delta) and against itself, only docs
+    with no earlier near-duplicate reach the sink, and the batch is
+    appended to the index. The stateful external index IS the streaming
+    state — unbounded dedup state cannot live in the streaming state
+    store, which is exactly why production crawl dedup keeps an LSM
+    index beside the stream.
+
+    Drop rules and idempotency (foreachBatch is AT-LEAST-ONCE):
+    - within-batch pairs drop the larger id (greedy smaller-id-wins);
+    - cross pairs drop the probe id ONLY when it exceeds the corpus id
+      (id-ordered arrival makes this equivalent to "probe arrived
+      later", and it makes REPLAY safe: after a crash between the index
+      append and the checkpoint commit, the batch's own copies are
+      already in the index — self-pairs have equal ids and the i<j
+      mirror pairs reproduce exactly the within-batch rule instead of
+      dropping both members);
+    - the sink writes FIRST (partition overwrite by batch_id, so a
+      replay replaces its own partition), the index append second;
+      duplicate index rows from a replay are harmless to pair identity
+      (the candidate join dedups on (id_a, id_b))."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(input_dir)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        within = DD.minhash_lsh_pairs(
+            batch_df, "doc_id", "text", num_perm, bands, shingle_k,
+            threshold,
+        )
+        dropped = within.select(F.col("id_b").alias("doc_id"))
+        index_live = spark.catalog.tableExists(index_table)
+        if index_live:
+            cross = DD.incremental_minhash_pairs(
+                spark, batch_df, index_table, "doc_id", "text",
+                num_perm, bands, shingle_k, threshold,
+            )
+            dropped = dropped.unionByName(
+                cross.filter(F.col("id_a") > F.col("id_b"))
+                .select(F.col("id_a").alias("doc_id"))
+            )
+        novel = batch_df.join(dropped.distinct(), "doc_id", "left_anti")
+        (
+            novel.select("doc_id", F.length("text").alias("text_len"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+        if index_live:
+            DD.append_to_minhash_index(
+                spark, batch_df, index_table, "doc_id", "text",
+                num_perm, bands, shingle_k,
+            )
+        else:
+            DD.persist_minhash_index(
+                batch_df, index_table, "doc_id", "text", num_perm,
+                bands, shingle_k, n_buckets=8,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_status_counts(spark: SparkSession, results_dir: str,
                          checkpoint_dir: str, query_name: str):
     """Run-metrics counters (A2) as a streaming aggregation into memory."""

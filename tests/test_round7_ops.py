@@ -418,3 +418,53 @@ def test_token_freq_bucket_thresholds_bind_at_sf001(spark):
     rows = Q.q_token_freq_buckets(spark, SF).collect()
     buckets = {r["bucket"] for r in rows}
     assert buckets == {"head", "middle", "tail"}, buckets
+
+
+def test_streaming_novelty_replay_drop_rule_is_idempotent(spark, tmp_path):
+    """The streaming foreachBatch is at-least-once: a crash between the
+    index append and the checkpoint commit replays a batch against an
+    index that ALREADY CONTAINS the batch's own rows. The guarded cross
+    rule (drop probe only when probe_id > corpus_id) must then produce
+    the same novelty verdicts as the clean first delivery — an
+    unguarded rule would drop BOTH members of a within-batch pair on
+    replay (each is the other's probe) and self-pairs would kill every
+    doc."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [(1, "earlier corpus material on glacial sediment layers and "
+             "the slow migration of terminal moraines across valleys")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, BASE + " fresh arrival content marker two"),
+         (20, BASE + " fresh arrival content marker two"),   # dup of 10
+         (30, "novel astronomy content about minor planets and the "
+              "orbital resonance structure of the outer belt regions")],
+        "doc_id long, text string",
+    )
+
+    def verdicts(index_rows):
+        t = "t_replay_idx"
+        for suffix in ("", "__delta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+        DD.persist_minhash_index(index_rows, t, "doc_id", "text",
+                                 n_buckets=4)
+        within = DD.minhash_lsh_pairs(batch, "doc_id", "text",
+                                      threshold=0.5)
+        cross = DD.incremental_minhash_pairs(
+            spark, batch, t, "doc_id", "text", threshold=0.5
+        )
+        dropped = within.select(F.col("id_b").alias("doc_id")).unionByName(
+            cross.filter(F.col("id_a") > F.col("id_b"))
+            .select(F.col("id_a").alias("doc_id"))
+        ).distinct()
+        out = {r["doc_id"] for r in
+               batch.join(dropped, "doc_id", "left_anti").collect()}
+        for suffix in ("", "__delta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+        return out
+
+    clean = verdicts(corpus)                      # first delivery
+    replay = verdicts(corpus.unionByName(batch))  # redelivery state
+    assert clean == replay == {10, 30}, (clean, replay)
