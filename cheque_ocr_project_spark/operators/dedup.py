@@ -316,13 +316,23 @@ def persist_minhash_index(df: DataFrame, table: str, id_col: str,
     shuffles to the bucket partitioning); re-banding the whole corpus per
     batch — the reference's per-batch master re-read pattern
     (issuer_processor_v.py:244-258) — is amortized into the layout."""
-    from cheque_ocr_project_spark.sources.io import write_bucketed
-
     banded = minhash_banded(df, id_col, text_col, num_perm, bands,
                             shingle_k, seed)
+    _persist_minhash_banded(banded, table, dict(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed,
+    ), n_buckets)
+
+
+def _persist_minhash_banded(banded: DataFrame, table: str, params: dict,
+                            n_buckets: int) -> None:
+    """Write an ALREADY-BANDED signature relation as the bucketed index
+    and stamp its geometry — the banded-level half of
+    persist_minhash_index, shared with novelty_ingest_batch (which
+    bands once and reuses the relation)."""
+    from cheque_ocr_project_spark.sources.io import write_bucketed
+
     write_bucketed(banded, table, ["band_key"], n_buckets=n_buckets)
-    _set_index_params(banded.sparkSession, table, dict(
-        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed))
+    _set_index_params(banded.sparkSession, table, params)
 
 
 def _set_index_params(spark, table: str, params: dict) -> None:
@@ -389,16 +399,27 @@ def incremental_minhash_candidates(spark, new_docs: DataFrame, table: str,
     into the index by compact_index before it grows)."""
     _check_index_params(spark, table, dict(
         num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed))
+    new_banded = minhash_banded(
+        new_docs, id_col, text_col, num_perm, bands, shingle_k, seed
+    )
+    return _incremental_candidates_banded(spark, new_banded, table)
+
+
+def _incremental_candidates_banded(spark, new_banded: DataFrame,
+                                   table: str) -> DataFrame:
+    """The probe-join core of incremental_minhash_candidates over an
+    ALREADY-BANDED probe relation (columns id, sig, band_key) — shared
+    with novelty_ingest_batch so the probe never re-bands a batch that
+    was banded for the append anyway. Parameter checking is the
+    caller's job (the banded relation carries no geometry to verify)."""
+    probe = new_banded.select(
+        "band_key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
     corpus = spark.table(table).select(
         "band_key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
     )
-    new_banded = minhash_banded(
-        new_docs, id_col, text_col, num_perm, bands, shingle_k, seed
-    ).select(
-        "band_key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-    )
     cand = (
-        new_banded.join(corpus, "band_key")
+        probe.join(corpus, "band_key")
         .filter(F.col("id_a") != F.col("id_b"))
     )
     delta = _delta_table(table)
@@ -408,7 +429,7 @@ def incremental_minhash_candidates(spark, new_docs: DataFrame, table: str,
             F.col("sig").alias("sig_b"),
         )
         cand = cand.unionByName(
-            new_banded.join(dcorpus, "band_key")
+            probe.join(dcorpus, "band_key")
             .filter(F.col("id_a") != F.col("id_b"))
         )
     return cand
@@ -463,8 +484,100 @@ def append_to_minhash_index(spark, new_docs: DataFrame, table: str,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed))
     banded = minhash_banded(new_docs, id_col, text_col, num_perm, bands,
                             shingle_k, seed)
+    _append_minhash_banded(banded, table)
+
+
+def _append_minhash_banded(banded: DataFrame, table: str) -> None:
+    """Append an ALREADY-BANDED relation to the delta side table —
+    shared with novelty_ingest_batch (recovery + geometry checks are
+    the caller's job at the banded level)."""
     banded.write.format("parquet").mode("append").saveAsTable(
         _delta_table(table))
+
+
+def novelty_ingest_batch(spark, batch_df: DataFrame, table: str,
+                         id_col: str, text_col: str, num_perm: int = 64,
+                         bands: int = 16, shingle_k: int = 5,
+                         threshold: float = 0.5, seed: int = DEFAULT_SEED,
+                         n_buckets: int = 8) -> DataFrame:
+    """ONE ingest step of the sequential novelty filter — the single
+    shared implementation behind the batch (plans.q_minhash_novelty)
+    and streaming (streaming.stream_novelty) twins, so the drop rule
+    cannot drift between them. Bands the batch EXACTLY ONCE (the
+    banded relation is materialized to a scratch parquet and reused by
+    the self-join, the index probe, and the index append — the round-3
+    measurement in minhash_lsh_pairs' docstring showed re-running the
+    Arrow signature stage 3x triples the cost), folds the batch into
+    the index (persisting the bucketed layout on the first batch), and
+    returns the batch's DROPPED-id relation (one column, ``id_col``);
+    the caller anti-joins for the novel rows.
+
+    Drop rule — order-independent and replay-safe by construction:
+    - a batch doc drops when a band-mate with est_jaccard >= threshold
+      has a SMALLER id (within-batch self-join: drop id_b);
+    - a batch doc drops when the index/delta probe finds a smaller-id
+      match (cross: drop id_a ONLY when id_a > id_b).
+    Because the batch is appended BEFORE the returned plan is
+    materialized, the probe sees the batch's own rows — self-pairs
+    have equal ids (no drop) and mirror pairs reduce to the
+    within-batch rule; rows from batches appended LATER (larger ids)
+    can never drop earlier docs through the guard. The same property
+    makes an at-least-once REPLAY (foreachBatch redelivery after a
+    crash between the append and the checkpoint commit) emit
+    bit-identical verdicts: duplicate index rows are harmless to pair
+    identity (the candidate join dedups on (id_a, id_b))."""
+    import shutil
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    params = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                  seed=seed)
+    _recover_crashed_compaction(spark, table)
+    # bounded scratch: sweep hour-old banded stages from prior runs
+    tmp_root = Path(tempfile.gettempdir())
+    cutoff = _time.time() - 3600
+    for old in tmp_root.glob("novelty_banded_*"):
+        try:
+            if old.is_dir() and old.stat().st_mtime < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    stage = tempfile.mkdtemp(prefix="novelty_banded_")
+    minhash_banded(
+        batch_df, id_col, text_col, num_perm, bands, shingle_k, seed
+    ).write.mode("overwrite").parquet(stage)      # THE one banding action
+    bd = spark.read.parquet(stage)
+
+    left = bd.select("band_key", F.col("id").alias("id_a"),
+                     F.col("sig").alias("sig_a"))
+    right = bd.select("band_key", F.col("id").alias("id_b"),
+                      F.col("sig").alias("sig_b"))
+    within_cand = (
+        left.join(right, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dropped = _est_filtered_pairs(within_cand, threshold).select(
+        F.col("id_b").alias(id_col)
+    )
+    if spark.catalog.tableExists(table):
+        _check_index_params(spark, table, params)
+        cross_cand = _incremental_candidates_banded(
+            spark, bd, table
+        ).select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates(
+            ["id_a", "id_b"]
+        )
+        cross = _est_filtered_pairs(cross_cand, threshold)
+        dropped = dropped.unionByName(
+            cross.filter(F.col("id_a") > F.col("id_b"))
+            .select(F.col("id_a").alias(id_col))
+        )
+        _append_minhash_banded(bd, table)
+    else:
+        _persist_minhash_banded(bd, table, params, n_buckets)
+    return dropped.distinct()
 
 
 def append_to_simhash_index(spark, new_docs: DataFrame, table: str,

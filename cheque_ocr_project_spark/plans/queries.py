@@ -1761,14 +1761,20 @@ def q_minhash_novelty(spark, sf_dir):
     the same greedy smaller-id-wins rule as semantic_dedup, which is
     exactly what the batched machinery computes when batches are
     id-ordered: within-batch pairs drop the larger id, cross-batch
-    pairs drop the probe (arrived later). The oracle is the FULL
-    one-shot recompute's survivor set, so a probe that missed the
-    delta, an append banded under the wrong geometry, or a batch that
-    skipped its own internal pairs all break the hash.
+    pairs drop the probe only when its id exceeds the corpus id (under
+    id-ordered arrival that IS "arrived later", and the guard makes the
+    rule order-independent and replay-safe — dedup.novelty_ingest_batch
+    is the single shared implementation the streaming twin also runs).
+    The oracle is the FULL one-shot recompute's survivor set, so a
+    probe that missed the delta, an append banded under the wrong
+    geometry, or a batch that skipped its own internal pairs all break
+    the hash.
 
-    Scale shape: each batch pays one banding pass + the bucketed index
-    join (exchange-free on the corpus side) + the small delta join;
-    the seen-corpus is never re-banded — the LSM index amortizes it."""
+    Scale shape: each batch is banded EXACTLY ONCE (materialized to a
+    scratch parquet and reused by the self-join, the index probe, and
+    the append) + the bucketed index join (exchange-free on the corpus
+    side) + the small delta join; the seen-corpus is never re-banded —
+    the LSM index amortizes it."""
     from cheque_ocr_project_spark.operators import dedup as DD
 
     docs = _docs_with_near_dups(spark, sf_dir)
@@ -1776,31 +1782,21 @@ def q_minhash_novelty(spark, sf_dir):
     _drop_table_and_location(spark, t)
     _drop_table_and_location(spark, f"{t}__delta")
     dropped = []
-    index_live = False
     for lo, hi in NOVELTY_BATCH_BOUNDS:
         b = docs
         if lo is not None:
             b = b.filter(F.col("doc_id") >= lo)
         if hi is not None:
             b = b.filter(F.col("doc_id") < hi)
-        # within-batch: the larger id of each pair arrived later
-        within = DD.minhash_lsh_pairs(
-            b, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
-            threshold=0.5,
-        )
-        dropped.append(within.select(F.col("id_b").alias("doc_id")))
-        if not index_live:
-            DD.persist_minhash_index(b, t, "doc_id", "text", n_buckets=8)
-            index_live = True
-        else:
-            # cross-batch: pair identity is (new id, corpus id) — the
-            # new doc is always the later arrival under id-ordered
-            # batches, so id_a is the drop
-            cross = DD.incremental_minhash_pairs(
-                spark, b, t, "doc_id", "text", threshold=0.5
+        if b.isEmpty():
+            continue  # same skip the streaming twin's foreachBatch takes
+        dropped.append(
+            DD.novelty_ingest_batch(
+                spark, b, t, "doc_id", "text", threshold=0.5, n_buckets=8
             )
-            dropped.append(cross.select(F.col("id_a").alias("doc_id")))
-            DD.append_to_minhash_index(spark, b, t, "doc_id", "text")
+        )
+    if not dropped:
+        return docs.select("doc_id", F.length("text").alias("text_len"))
     all_dropped = reduce(lambda a, c: a.unionByName(c), dropped).distinct()
     return (
         docs.join(all_dropped, "doc_id", "left_anti")

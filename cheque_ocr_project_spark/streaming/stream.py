@@ -103,19 +103,18 @@ def stream_novelty(spark: SparkSession, input_dir: str, output_dir: str,
     store, which is exactly why production crawl dedup keeps an LSM
     index beside the stream.
 
-    Drop rules and idempotency (foreachBatch is AT-LEAST-ONCE):
-    - within-batch pairs drop the larger id (greedy smaller-id-wins);
-    - cross pairs drop the probe id ONLY when it exceeds the corpus id
-      (id-ordered arrival makes this equivalent to "probe arrived
-      later", and it makes REPLAY safe: after a crash between the index
-      append and the checkpoint commit, the batch's own copies are
-      already in the index — self-pairs have equal ids and the i<j
-      mirror pairs reproduce exactly the within-batch rule instead of
-      dropping both members);
-    - the sink writes FIRST (partition overwrite by batch_id, so a
-      replay replaces its own partition), the index append second;
-      duplicate index rows from a replay are harmless to pair identity
-      (the candidate join dedups on (id_a, id_b))."""
+    Drop rule and idempotency: dedup.novelty_ingest_batch is the SINGLE
+    shared implementation (the batch twin q_minhash_novelty runs the
+    same function, so the two cannot drift). It bands the batch exactly
+    once, appends it to the index BEFORE the verdicts materialize, and
+    guards the cross-probe drop on id_a > id_b — which makes foreachBatch
+    REPLAY safe: a redelivery after a crash between the index append and
+    the checkpoint commit probes an index already containing the batch's
+    own rows, but self-pairs have equal ids (no drop) and mirror pairs
+    reproduce the within-batch rule, so the replayed sink write
+    (partition overwrite by batch_id) replaces its partition with
+    identical content; duplicate index rows are harmless to pair
+    identity (the candidate join dedups on (id_a, id_b))."""
     from cheque_ocr_project_spark.operators import dedup as DD
 
     stream = (
@@ -129,22 +128,11 @@ def stream_novelty(spark: SparkSession, input_dir: str, output_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        within = DD.minhash_lsh_pairs(
-            batch_df, "doc_id", "text", num_perm, bands, shingle_k,
-            threshold,
+        dropped = DD.novelty_ingest_batch(
+            spark, batch_df, index_table, "doc_id", "text",
+            num_perm, bands, shingle_k, threshold, n_buckets=8,
         )
-        dropped = within.select(F.col("id_b").alias("doc_id"))
-        index_live = spark.catalog.tableExists(index_table)
-        if index_live:
-            cross = DD.incremental_minhash_pairs(
-                spark, batch_df, index_table, "doc_id", "text",
-                num_perm, bands, shingle_k, threshold,
-            )
-            dropped = dropped.unionByName(
-                cross.filter(F.col("id_a") > F.col("id_b"))
-                .select(F.col("id_a").alias("doc_id"))
-            )
-        novel = batch_df.join(dropped.distinct(), "doc_id", "left_anti")
+        novel = batch_df.join(dropped, "doc_id", "left_anti")
         (
             novel.select("doc_id", F.length("text").alias("text_len"))
             .withColumn("batch_id", F.lit(batch_id))
@@ -152,16 +140,6 @@ def stream_novelty(spark: SparkSession, input_dir: str, output_dir: str,
             .partitionBy("batch_id")
             .parquet(output_dir)
         )
-        if index_live:
-            DD.append_to_minhash_index(
-                spark, batch_df, index_table, "doc_id", "text",
-                num_perm, bands, shingle_k,
-            )
-        else:
-            DD.persist_minhash_index(
-                batch_df, index_table, "doc_id", "text", num_perm,
-                bands, shingle_k, n_buckets=8,
-            )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -444,27 +444,27 @@ def test_streaming_novelty_replay_drop_rule_is_idempotent(spark, tmp_path):
         "doc_id long, text string",
     )
 
-    def verdicts(index_rows):
+    def verdicts(pre_delivered: bool):
+        """Drive the SHIPPED ingest step (novelty_ingest_batch — the
+        exact function both twins run). pre_delivered simulates the
+        crash state: the batch's rows already appended to the index
+        by the crashed first attempt."""
         t = "t_replay_idx"
         for suffix in ("", "__delta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
-        DD.persist_minhash_index(index_rows, t, "doc_id", "text",
+        DD.persist_minhash_index(corpus, t, "doc_id", "text",
                                  n_buckets=4)
-        within = DD.minhash_lsh_pairs(batch, "doc_id", "text",
-                                      threshold=0.5)
-        cross = DD.incremental_minhash_pairs(
+        if pre_delivered:
+            DD.append_to_minhash_index(spark, batch, t, "doc_id", "text")
+        dropped = DD.novelty_ingest_batch(
             spark, batch, t, "doc_id", "text", threshold=0.5
         )
-        dropped = within.select(F.col("id_b").alias("doc_id")).unionByName(
-            cross.filter(F.col("id_a") > F.col("id_b"))
-            .select(F.col("id_a").alias("doc_id"))
-        ).distinct()
         out = {r["doc_id"] for r in
                batch.join(dropped, "doc_id", "left_anti").collect()}
         for suffix in ("", "__delta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
         return out
 
-    clean = verdicts(corpus)                      # first delivery
-    replay = verdicts(corpus.unionByName(batch))  # redelivery state
+    clean = verdicts(pre_delivered=False)   # first delivery
+    replay = verdicts(pre_delivered=True)   # redelivery after crash
     assert clean == replay == {10, 30}, (clean, replay)
