@@ -121,8 +121,11 @@ FROM ({base}
 WHERE p.id_a < {probe_min_id} AND p.id_b >= {probe_min_id}"""
 
 
-def sql_winnow_fingerprint(k: int = 8, window: int = 8) -> str:
-    """Winnowing twin of dedup.winnowing_fingerprints over documents."""
+def sql_winnow_fingerprint(k: int = 8, window: int = 8,
+                           src: str = "documents") -> str:
+    """Winnowing twin of dedup.winnowing_fingerprints over ``src`` (the
+    documents view by default; winnow_substring_pairs passes the
+    clone-planted ``docs`` CTE)."""
     shingles = (
         f"CASE WHEN length(text) < {k} THEN [text] "
         f"ELSE list_transform(range(1, length(text) - {k - 2}), "
@@ -132,7 +135,7 @@ def sql_winnow_fingerprint(k: int = 8, window: int = 8) -> str:
 WITH hashed AS (
   SELECT doc_id,
          list_transform({shingles}, sh -> {poly_sql('sh', 7)}) AS hs
-  FROM documents
+  FROM {src}
 ),
 win AS (
   SELECT doc_id,
@@ -142,6 +145,42 @@ win AS (
   FROM hashed
 )
 SELECT doc_id AS id, unnest(fps) AS fp FROM win"""
+
+
+def sql_winnow_substring_pairs(k: int = 8, window: int = 8,
+                               maxdf: int = 20,
+                               tau_ppm: int = 500000) -> str:
+    """Twin of plans.q_winnow_substring_pairs: winnowing fingerprints
+    over the clone-planted docs, doc-frequency cap BEFORE the self-join,
+    shared-fingerprint counts, integer overlap ppm vs the smaller doc's
+    (capped) fingerprint total."""
+    base = sql_winnow_fingerprint(k, window, src="docs")
+    inner = base.split("WITH", 1)[1]
+    final_idx = inner.rindex("SELECT doc_id AS id")
+    ctes = inner[:final_idx].rstrip().rstrip(",")
+    final = inner[final_idx:].strip()
+    return f"""
+WITH {DOCS_WITH_NEAR_DUPS_CTE.lstrip()},
+{ctes},
+fps AS ({final}),
+kept AS (
+  SELECT id, fp FROM fps
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {maxdf}
+),
+tot AS (SELECT id, count(*) AS tot FROM kept GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, shared_fps, overlap_ppm FROM (
+  SELECT s.id_a, s.id_b, CAST(s.shared_fps AS BIGINT) AS shared_fps,
+         CAST((s.shared_fps * 1000000) // least(ta.tot, tb.tot) AS BIGINT)
+           AS overlap_ppm
+  FROM shared s
+  JOIN tot ta ON ta.id = s.id_a
+  JOIN tot tb ON tb.id = s.id_b
+) WHERE overlap_ppm >= {tau_ppm}"""
 
 
 def sql_near_dup_clusters(max_hamming: int = 3) -> str:

@@ -1887,6 +1887,71 @@ def _sql_winnow_fingerprint():
     return dedup_sql.sql_winnow_fingerprint(k=8, window=8)
 
 
+# Exact-substring pair detection knobs: fingerprints carried by more
+# than MAXDF docs produce quadratic pairs but no substring signal (the
+# containment_pairs discipline — the cap runs BEFORE the self-join);
+# TAU keeps pairs where shared fingerprints cover >= half the smaller
+# doc's (capped) fingerprint set.
+WINNOW_PAIR_MAXDF = 20
+WINNOW_PAIR_TAU_PPM = 500000
+
+
+def q_winnow_substring_pairs(spark, sf_dir):
+    """Exact-substring near-duplicate pairs (the Lee et al. 2022
+    'Deduplicating Training Data' family): two docs pair when their
+    winnowing fingerprints — which any shared substring of length
+    >= k + window - 1 is guaranteed to hit — overlap on >= TAU ppm of
+    the smaller doc's fingerprint set. Catches long VERBATIM spans
+    (quotes, syndication, boilerplate-wrapped copies) that set-based
+    MinHash under-scores when the surrounding text differs.
+
+    Scale shape: fingerprint doc-frequency capped at MAXDF BEFORE the
+    self-join (<= MAXDF^2 pairs per fingerprint — the LSH-cap
+    discipline); per-doc totals counted on the SAME capped relation so
+    the ratio is consistent; the pair agg and both total join-backs are
+    map-side combinable; all-integer ppm (shared * 1e6 <= 1e12 — no
+    overflow exposure)."""
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    fps = DD.winnowing_fingerprints(docs, "doc_id", "text", k=8, window=8)
+    kept = DD.cap_bucket_size(fps, "fp", WINNOW_PAIR_MAXDF)
+    tot = kept.groupBy("id").agg(F.count(F.lit(1)).alias("tot"))
+    left = kept.select("fp", F.col("id").alias("id_a"))
+    right = kept.select("fp", F.col("id").alias("id_b"))
+    shared = (
+        left.join(right, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return (
+        shared
+        .join(tot.select(F.col("id").alias("id_a"),
+                         F.col("tot").alias("tot_a")), "id_a")
+        .join(tot.select(F.col("id").alias("id_b"),
+                         F.col("tot").alias("tot_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("shared_fps").cast("long").alias("shared_fps"),
+            F.expr(
+                "CAST((shared_fps * 1000000) div least(tot_a, tot_b) "
+                "AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+        .filter(F.col("overlap_ppm") >= WINNOW_PAIR_TAU_PPM)
+    )
+
+
+def _sql_winnow_substring_pairs():
+    from cheque_ocr_project_spark.plans import dedup_sql
+
+    return dedup_sql.sql_winnow_substring_pairs(
+        k=8, window=8, maxdf=WINNOW_PAIR_MAXDF,
+        tau_ppm=WINNOW_PAIR_TAU_PPM,
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Duplicate-cluster assignment: connected components over the SimHash
     near-dup pair graph (keep one document per cluster). Iterative
@@ -4797,6 +4862,9 @@ REGISTRY: dict[str, tuple] = {
     "near_dup_clusters": (q_near_dup_clusters, _sql_near_dup_clusters),
     "dedup_survivors": (q_dedup_survivors, _sql_dedup_survivors),
     "winnow_fingerprint": (q_winnow_fingerprint, _sql_winnow_fingerprint),
+    "winnow_substring_pairs": (
+        q_winnow_substring_pairs, _sql_winnow_substring_pairs
+    ),
     "train_val_split": (q_train_val_split, sql_train_val_split),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "gopher_quality": (q_gopher_quality, sql_gopher_quality),
@@ -4926,9 +4994,9 @@ _CHECK_FIRST = (
     "ner_entities", "score_name", "govt_entity", "officer_designation",
     "filename_fields", "line_confidence", "window_order",
     "containment_match", "main_content_plain", "fast_pattern_extract",
-    # 51st-63rd — the documented carry-overs to the r08 lead
+    # 51st-64th — the documented carry-overs to the r08 lead
     "semantic_dedup", "minhash_novelty", "streaming_novelty",
-    "token_freq_buckets",
+    "token_freq_buckets", "winnow_substring_pairs",
     "pricing_summary", "revenue_by_nation", "top_customers",
     "clean_text", "clean_text_v2", "junk_flag", "for_first3",
     "embedding_lsh_near_dup", "ann_lsh_topk",

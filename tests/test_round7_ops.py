@@ -468,3 +468,54 @@ def test_streaming_novelty_replay_drop_rule_is_idempotent(spark, tmp_path):
     clean = verdicts(pre_delivered=False)   # first delivery
     replay = verdicts(pre_delivered=True)   # redelivery after crash
     assert clean == replay == {10, 30}, (clean, replay)
+
+
+# ---------------------------------------------------------------------------
+# winnow_substring_pairs — exact-substring near-dup detection
+# ---------------------------------------------------------------------------
+
+def test_winnow_substring_pairs_catch_verbatim_quote_minhash_misses(
+        spark, tmp_path):
+    """The motivating case: a long VERBATIM quote embedded in otherwise
+    different documents. The fingerprint-overlap pair fires (any shared
+    substring >= k + window - 1 chars shares a fingerprint, and the
+    quote dominates the smaller doc), while set-Jaccard MinHash at 0.5
+    scores the pair far below threshold because the longer doc's unique
+    text swamps the shingle set."""
+    import pandas as pd
+
+    from cheque_ocr_project_spark.operators import dedup as DD
+
+    quote = ("to be or not to be that is the question whether tis "
+             "nobler in the mind to suffer the slings and arrows")
+    long_unique = (
+        "market analysts reviewed quarterly filings across the energy "
+        "sector while commodity desks repriced forward curves and the "
+        "committee debated reserve requirements for regional lenders "
+        "throughout a volatile session of cross border settlements "
+    ) * 3
+    rows = [
+        (1, quote + " said the director at the close", "s"),
+        (2, long_unique + quote, "s"),
+        (3, "unrelated text about alpine meadow ecology and the slow "
+            "return of pollinator populations after managed grazing",
+         "s"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df = df[["doc_id", "text", "lang", "source", "n_chars"]]
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+
+    sub_pairs = {(r["id_a"], r["id_b"])
+                 for r in Q.q_winnow_substring_pairs(spark, sf).collect()}
+    assert (1, 2) in sub_pairs, sub_pairs
+
+    docs = Q._docs_with_near_dups(spark, sf)
+    mh = {(r["id_a"], r["id_b"]) for r in DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
+        threshold=0.5,
+    ).collect()}
+    assert (1, 2) not in mh, mh
