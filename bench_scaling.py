@@ -35,6 +35,12 @@ cpus, sf_dir, replication = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
 GATE_LOAD, budget = 2.0, 240
 while os.getloadavg()[0] > GATE_LOAD and budget > 0:
     time.sleep(5); budget -= 5
+# the post-gate reading is the AMBIENT load (pre-warmup); the later
+# 'load' field is sampled after the full-parallelism warmup and so
+# includes the leg's own residue — only this one can distinguish an
+# externally contaminated leg from ordinary warmup self-load
+gate_wait_s = 240 - budget
+load_ambient = round(os.getloadavg()[0], 2)
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cpus}]")
          .appName(f"scaling-{cpus}")
@@ -62,7 +68,9 @@ t0 = time.perf_counter()
 P.extract_pipeline(spark, t, dd).write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
 print(json.dumps({"cpus": cpus, "turns": n, "sec": dt, "tps": n / dt,
-                  "load": load}))
+                  "load": load, "load_ambient": load_ambient,
+                  "gate_wait_s": gate_wait_s,
+                  "gate_timed_out": load_ambient > 2.0}))
 spark.stop()
 """
 
@@ -108,6 +116,10 @@ def main() -> None:
         "pass": eff >= 0.8,
         "load_N": n.get("load"),
         "load_4N": n4.get("load"),
+        "ambient_N": n.get("load_ambient"),
+        "ambient_4N": n4.get("load_ambient"),
+        "gate_timed_out": bool(n.get("gate_timed_out")
+                               or n4.get("gate_timed_out")),
     }
     print(json.dumps(summary))
 
@@ -133,7 +145,9 @@ def main() -> None:
         )
         f.write(
             f"  (1-min load at measure start — N leg: {summary['load_N']}, "
-            f"4N leg: {summary['load_4N']})\n"
+            f"4N leg: {summary['load_4N']}; ambient pre-warmup — N: "
+            f"{summary['ambient_N']}, 4N: {summary['ambient_4N']}"
+            f"{'; GATE TIMED OUT hot' if summary['gate_timed_out'] else ''})\n"
         )
     print(f"appended to {md}")
 

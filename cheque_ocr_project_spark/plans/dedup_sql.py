@@ -121,18 +121,17 @@ FROM ({base}
 WHERE p.id_a < {probe_min_id} AND p.id_b >= {probe_min_id}"""
 
 
-def sql_winnow_fingerprint(k: int = 8, window: int = 8,
-                           src: str = "documents") -> str:
-    """Winnowing twin of dedup.winnowing_fingerprints over ``src`` (the
-    documents view by default; winnow_substring_pairs passes the
-    clone-planted ``docs`` CTE)."""
+def _winnow_parts(k: int, window: int, src: str) -> tuple[str, str]:
+    """(CTE chain, final SELECT) of the winnowing fingerprint relation —
+    returned as PARTS so sql_winnow_substring_pairs can compose them
+    structurally instead of string-slicing the rendered query (a rename
+    of the output column would otherwise silently break the slicing)."""
     shingles = (
         f"CASE WHEN length(text) < {k} THEN [text] "
         f"ELSE list_transform(range(1, length(text) - {k - 2}), "
         f"i -> text[i:i+{k - 1}]) END"
     )
-    return f"""
-WITH hashed AS (
+    ctes = f"""hashed AS (
   SELECT doc_id,
          list_transform({shingles}, sh -> {poly_sql('sh', 7)}) AS hs
   FROM {src}
@@ -143,8 +142,20 @@ win AS (
          ELSE list_distinct(list_transform(range(1, len(hs) - {window} + 2),
               i -> list_min(list_slice(hs, i, i + {window} - 1)))) END AS fps
   FROM hashed
-)
-SELECT doc_id AS id, unnest(fps) AS fp FROM win"""
+)"""
+    final = "SELECT doc_id AS id, unnest(fps) AS fp FROM win"
+    return ctes, final
+
+
+def sql_winnow_fingerprint(k: int = 8, window: int = 8,
+                           src: str = "documents") -> str:
+    """Winnowing twin of dedup.winnowing_fingerprints over ``src`` (the
+    documents view by default; winnow_substring_pairs passes the
+    clone-planted ``docs`` CTE)."""
+    ctes, final = _winnow_parts(k, window, src)
+    return f"""
+WITH {ctes}
+{final}"""
 
 
 def sql_winnow_substring_pairs(k: int = 8, window: int = 8,
@@ -154,11 +165,7 @@ def sql_winnow_substring_pairs(k: int = 8, window: int = 8,
     over the clone-planted docs, doc-frequency cap BEFORE the self-join,
     shared-fingerprint counts, integer overlap ppm vs the smaller doc's
     (capped) fingerprint total."""
-    base = sql_winnow_fingerprint(k, window, src="docs")
-    inner = base.split("WITH", 1)[1]
-    final_idx = inner.rindex("SELECT doc_id AS id")
-    ctes = inner[:final_idx].rstrip().rstrip(",")
-    final = inner[final_idx:].strip()
+    ctes, final = _winnow_parts(k, window, src="docs")
     return f"""
 WITH {DOCS_WITH_NEAR_DUPS_CTE.lstrip()},
 {ctes},
