@@ -519,3 +519,17 @@ def test_winnow_substring_pairs_catch_verbatim_quote_minhash_misses(
         threshold=0.5,
     ).collect()}
     assert (1, 2) not in mh, mh
+
+
+def test_bench_name_sets_resolve_against_registry():
+    """bench.py routes queries by NAME (HEADLINE timing set,
+    ADAPTER_TIMED sweep split): a typo or a renamed registry entry
+    would silently drop a headline row or time an adapter row as
+    operator cost. Pin every name to the live registry."""
+    import bench
+
+    reg = set(Q.queries())
+    missing_headline = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing_headline, missing_headline
+    missing_adapter = [n for n in bench.ADAPTER_TIMED if n not in reg]
+    assert not missing_adapter, missing_adapter
