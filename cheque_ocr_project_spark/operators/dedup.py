@@ -278,7 +278,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     return _est_filtered_pairs(cand, threshold)
 
@@ -297,10 +296,24 @@ def _est_jaccard() -> Column:
 
 
 def _est_filtered_pairs(cand: DataFrame, threshold: float) -> DataFrame:
+    """Estimate, threshold-filter, THEN dedup the (id_a, id_b) pair key.
+
+    Ordering rationale (r08 measurement, guide §2.3 "shuffle fewer
+    bytes"): the band self-join emits one candidate row PER SHARED BAND,
+    each carrying both full signatures (2 x num_perm longs ~ 1 KB). A
+    hot band (sf1.0: max bucket 1823 members -> 21.7M candidate rows)
+    made the old dedup-first order shuffle ~20 GB of signature payload
+    through the dropDuplicates exchange. est_jaccard is a pure function
+    of (sig_a, sig_b), which are themselves functional in (id_a, id_b),
+    so every duplicate copy of a pair carries the SAME estimate —
+    filter∘dedup ≡ dedup∘filter — and the estimator+filter run map-side
+    in the join stage. The dedup exchange then carries only the
+    surviving (id_a, id_b, est) triples."""
     return (
         cand.withColumn("est_jaccard", _est_jaccard())
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -447,7 +460,7 @@ def incremental_minhash_pairs(spark, new_docs: DataFrame, table: str,
     cand = incremental_minhash_candidates(
         spark, new_docs, table, id_col, text_col, num_perm, bands,
         shingle_k, seed,
-    ).select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates(["id_a", "id_b"])
+    ).select("id_a", "id_b", "sig_a", "sig_b")
     return _est_filtered_pairs(cand, threshold)
 
 
@@ -557,7 +570,6 @@ def novelty_ingest_batch(spark, batch_df: DataFrame, table: str,
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     dropped = _est_filtered_pairs(within_cand, threshold).select(
         F.col("id_b").alias(id_col)
@@ -566,9 +578,7 @@ def novelty_ingest_batch(spark, batch_df: DataFrame, table: str,
         _check_index_params(spark, table, params)
         cross_cand = _incremental_candidates_banded(
             spark, bd, table
-        ).select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates(
-            ["id_a", "id_b"]
-        )
+        ).select("id_a", "id_b", "sig_a", "sig_b")
         cross = _est_filtered_pairs(cross_cand, threshold)
         dropped = dropped.unionByName(
             cross.filter(F.col("id_a") > F.col("id_b"))
@@ -817,12 +827,21 @@ def incremental_simhash_pairs(spark, new_docs: DataFrame, table: str,
             new_banded.join(dcorpus, "chunk_key")
             .filter(F.col("id_a") != F.col("id_b"))
         )
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return _hamming_filtered_pairs(cand, max_hamming)
+
+
+def _hamming_filtered_pairs(cand: DataFrame, max_hamming: int) -> DataFrame:
+    """Hamming-filter THEN dedup the pair key — same ordering argument as
+    _est_filtered_pairs: hamming is a pure function of (sim_a, sim_b),
+    functional in (id_a, id_b), so the filter commutes with the dedup and
+    the dropDuplicates exchange carries only surviving pairs instead of
+    one row per shared chunk."""
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -850,14 +869,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     cand = (
         left.join(right, "chunk_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _hamming_filtered_pairs(cand, max_hamming)
 
 
 def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
