@@ -32,6 +32,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelism for per-row-HEAVY projections
+    (regex cascades, long literal chains): a small-SF documents table is
+    ONE parquet file with ONE row group, so without this the entire
+    expression cascade runs on a single task while the other cores idle
+    (r08 measurement: payee_clean sf1.0 9.9s single-task). Same policy as
+    operators.extract._ensure_parallelism — decided from file-source
+    metadata only, a pure no-op at real scale where input splits >=
+    cores. Applied ONLY to row-wise projections (output is a pure
+    function of each row), so partitioning cannot affect results."""
+    from cheque_ocr_project_spark.operators.extract import _ensure_parallelism
+
+    return _ensure_parallelism(df.sparkSession, df)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -66,7 +81,7 @@ _TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 # ---------------------------------------------------------------------------
 
 def q_clean_text(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id", C.clean_text_v1(F.col("text")).alias("cleaned")
     )
 
@@ -82,7 +97,7 @@ def sql_clean_text():
 # ---------------------------------------------------------------------------
 
 def q_junk_flag(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id",
         C.is_junk_v1(F.upper(F.col("text"))).alias("is_junk"),
         C.is_garbage(F.upper(F.col("text"))).alias("is_garbage"),
@@ -133,7 +148,7 @@ def q_classify(spark, sf_dir):
         .when(is_dd, 0.95).when(is_mc, 0.95).when(crossed, 0.85)
         .when(is_self, 0.8).otherwise(0.7)
     )
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id",
         ctype.alias("cheque_type"),
         conf.alias("type_conf"),
@@ -192,20 +207,35 @@ def q_payee_extract(spark, sf_dir):
     # the pipeline's _payee_raw_col (pure prefilter, regex authoritative).
     from cheque_ocr_project_spark.plans.pipeline import _PAYEE_GUARDS
 
-    staged = _docs(spark, sf_dir).select(
+    staged = _par(_docs(spark, sf_dir)).select(
         "doc_id",
         F.regexp_replace(F.upper(F.col("text")), r"[\n\r]+$", "").alias("__u"),
     )
     u = F.col("__u")
-    chain = None
-    for p, guards in zip(PAYEE_PATTERNS_SQLSAFE, _PAYEE_GUARDS):
-        cand = F.trim(F.regexp_extract(u, p, 1))
-        hit = u.rlike(p)
-        if guards:
-            hit = C.any_term(u, guards) & hit
-        ok = hit & ~C.is_bank_or_metadata(cand)
-        chain = F.when(ok, cand) if chain is None else chain.when(ok, cand)
-    payee = chain.otherwise(F.lit(None).cast("string"))
+    # r08: array-HOF form (the _payee_raw_col structure) instead of a
+    # when-chain — the chain inlined trim(regexp_extract(u, p, 1)) into
+    # every bank/metadata Contains guard (~31 regex evaluations per
+    # matched pattern per row) while the bank gate's ~40-term tree was
+    # generated once PER PATTERN. Here each pattern runs at most ONE
+    # regex scan (the extract, gated on its cheap literal-contains
+    # guard; group 1 is mandatory and starts with [A-Z], so a
+    # non-empty trimmed extract <=> rlike — no separate rlike scan),
+    # and the bank gate lives in a single filter lambda.
+    def cand(p: str, guards) -> Column:
+        ex = F.trim(F.regexp_extract(u, p, 1))
+        if not guards:
+            return ex
+        return F.when(C.any_term(u, guards), ex)
+
+    cands = F.array(*[
+        cand(p, g) for p, g in zip(PAYEE_PATTERNS_SQLSAFE, _PAYEE_GUARDS)
+    ])
+    sel = F.filter(
+        cands,
+        lambda c: c.isNotNull() & (F.length(c) > 0)
+        & ~C.is_bank_or_metadata(c),
+    )
+    payee = F.get(sel, 0)
     return staged.select("doc_id", payee.alias("payee_raw"))
 
 
@@ -236,7 +266,7 @@ def q_payee_clean(spark, sf_dir):
     # whole documents — bound the input like the reference bounds model
     # inputs (ai_processor.py:159 text[:512])
     cand = F.substring(F.col("text"), 1, 80)
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id", C.clean_payee(cand).alias("payee_cleaned")
     )
 
@@ -263,7 +293,7 @@ def q_spelling_correct(spark, sf_dir):
     out = F.when(
         F.col("text").isNull() | (F.length("text") == 0), F.lit("UNKNOWN")
     ).otherwise(F.when(F.length(s) >= 3, s).otherwise(F.lit("UNKNOWN")))
-    return _docs(spark, sf_dir).select("doc_id", out.alias("corrected"))
+    return _par(_docs(spark, sf_dir)).select("doc_id", out.alias("corrected"))
 
 
 def sql_spelling_correct():
@@ -299,7 +329,7 @@ def q_field_grammars(spark, sf_dir):
     account = F.when(t.rlike(_ACCOUNT_PAT), F.regexp_extract(t, _ACCOUNT_PAT, 1))
     micr = vocab.MICR_PATTERN
     has_micr = t.rlike(micr)
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id",
         date.alias("field_date"),
         amount.alias("field_amount"),
@@ -340,7 +370,7 @@ def q_token_stats(spark, sf_dir):
     t = F.col("text")
     ws_tokens = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0)))
     bpe_tokens = F.size(F.regexp_extract_all(t, F.lit(_TOKEN_PATTERN), F.lit(0)))
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id",
         ws_tokens.alias("ws_tokens"),
         bpe_tokens.alias("bpe_tokens"),
@@ -368,7 +398,7 @@ def q_quality_score(spark, sf_dir):
     quality = F.round(
         0.4 * alpha_ratio + 0.3 * stop_ratio + 0.3 * (1.0 - punct_ratio), 6
     )
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id",
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
