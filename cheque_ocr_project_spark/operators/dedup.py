@@ -40,6 +40,7 @@ run-to-run, resumable, and recomputable by the correctness oracle.
 from __future__ import annotations
 
 import re as _re
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -237,6 +238,14 @@ def minhash_banded(df: DataFrame, id_col: str, text_col: str,
             F.col("band"),
             F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
         ),
+    ).withColumn(
+        # MinHash values are < P = 2^31 - 1 by construction, so the carried
+        # copy fits int32 losslessly — halves the banded exchange payload
+        # and the join-output row width (r08, guide §2.3 "narrower types").
+        # band_key is computed ABOVE from the int64 form so the candidate
+        # key space (and hence the oracle-matched pair set) is bit-
+        # identical to r07; est equality over int32 equals int64 equality.
+        "sig", F.col("sig").cast("array<int>")
     )
 
 
@@ -279,15 +288,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
     )
-    return _est_filtered_pairs(cand, threshold)
+    return _est_filtered_pairs(cand, threshold, num_perm)
 
 
-def _est_jaccard() -> Column:
-    """Unbiased Jaccard estimator over the two carried signatures."""
+def _est_jaccard(num_perm: int | None = None) -> Column:
+    """Unbiased Jaccard estimator over the two carried signatures.
+
+    Form note (r08 measured): the zip_with/filter/size form IS the fast
+    one — an unrolled flat sum of 64 F.get comparisons was tried and ran
+    8x SLOWER (the 64-term null-propagating Add chain defeats codegen),
+    so don't "optimize" this into a fold. num_perm is accepted for parity
+    with the callers' geometry but the dynamic form works for any
+    length."""
     return (
         F.size(
             F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                           lambda x, y: x == y),
                 lambda eq: eq,
             )
         )
@@ -295,7 +312,8 @@ def _est_jaccard() -> Column:
     )
 
 
-def _est_filtered_pairs(cand: DataFrame, threshold: float) -> DataFrame:
+def _est_filtered_pairs(cand: DataFrame, threshold: float,
+                        num_perm: int | None = None) -> DataFrame:
     """Estimate, threshold-filter, THEN dedup the (id_a, id_b) pair key.
 
     Ordering rationale (r08 measurement, guide §2.3 "shuffle fewer
@@ -310,7 +328,7 @@ def _est_filtered_pairs(cand: DataFrame, threshold: float) -> DataFrame:
     in the join stage. The dedup exchange then carries only the
     surviving (id_a, id_b, est) triples."""
     return (
-        cand.withColumn("est_jaccard", _est_jaccard())
+        cand.withColumn("est_jaccard", _est_jaccard(num_perm))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .dropDuplicates(["id_a", "id_b"])
@@ -461,7 +479,7 @@ def incremental_minhash_pairs(spark, new_docs: DataFrame, table: str,
         spark, new_docs, table, id_col, text_col, num_perm, bands,
         shingle_k, seed,
     ).select("id_a", "id_b", "sig_a", "sig_b")
-    return _est_filtered_pairs(cand, threshold)
+    return _est_filtered_pairs(cand, threshold, num_perm)
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +589,7 @@ def novelty_ingest_batch(spark, batch_df: DataFrame, table: str,
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
     )
-    dropped = _est_filtered_pairs(within_cand, threshold).select(
+    dropped = _est_filtered_pairs(within_cand, threshold, num_perm).select(
         F.col("id_b").alias(id_col)
     )
     if spark.catalog.tableExists(table):
@@ -579,7 +597,7 @@ def novelty_ingest_batch(spark, batch_df: DataFrame, table: str,
         cross_cand = _incremental_candidates_banded(
             spark, bd, table
         ).select("id_a", "id_b", "sig_a", "sig_b")
-        cross = _est_filtered_pairs(cross_cand, threshold)
+        cross = _est_filtered_pairs(cross_cand, threshold, num_perm)
         dropped = dropped.unionByName(
             cross.filter(F.col("id_a") > F.col("id_b"))
             .select(F.col("id_a").alias(id_col))

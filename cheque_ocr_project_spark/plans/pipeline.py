@@ -23,6 +23,7 @@ candidate vocabulary (tiny relative to lines).
 
 from __future__ import annotations
 
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,18 +138,49 @@ def _designation_literal(u: Column) -> Column:
     return chain.otherwise(F.lit(None).cast("string"))
 
 
+# Boolean-equivalent cheap forms of GOVT_PAYEE_PATTERNS (r08, guide §1.2
+# per-task work): the hit is consumed ONLY as a boolean, so each
+# `[A-Z\s]+WORD` pattern — whose greedy class prefix backtracks at every
+# position — reduces to `[A-Z\s]WORD` (a match of either form contains a
+# match of the other: the char immediately before WORD is in the class),
+# and every pattern gets a literal contains() guard that short-circuits
+# the regex for the vast majority of rows that lack the anchor word.
+# Guards are pure prefilters (a regex match implies its literals occur);
+# the regex stays authoritative.
+_GOVT_PAYEE_BOOL_PATTERNS: tuple = (
+    (("PAY", "GOVT"), r"PAY[:\s]*GOVT"),
+    (("PAY", "GOVERNMENT"), r"PAY[:\s]*GOVERNMENT"),
+    (("FAVOUR", "GOVT"), r"FAVOUR[:\s]*GOVT"),
+    (("FAVOUR", "GOVERNMENT"), r"FAVOUR[:\s]*GOVERNMENT"),
+    (("TO", "DEPARTMENT"), r"TO\s+THE\s+[A-Z\s]+DEPARTMENT"),
+    (("BOARD",), r"[A-Z\s]BOARD"),
+    (("MUNICIPALITY",), r"[A-Z\s]MUNICIPALITY"),
+    (("COMMITTEE",), r"[A-Z\s]COMMITTEE"),
+    (("AUTHORITY",), r"[A-Z\s]AUTHORITY"),
+    (("TRUST",), r"[A-Z\s]TRUST"),
+    (("CORPORATION",), r"[A-Z\s]CORPORATION"),
+)
+
+
 def _is_government_entity(x: Column) -> Column:
     """= oracle.govrules.is_government_entity (null/empty → False)."""
     u = F.upper(F.coalesce(x, F.lit("")))
     words = F.filter(F.split(u, r"\s+"), lambda w: w != "")
     pattern_hit = F.coalesce(
-        u.rlike("|".join(f"(?:{p})" for p in vocab.GOVT_PAYEE_PATTERNS)),
+        reduce(
+            lambda a, b: a | b,
+            [C.any_term(u, guards) & u.rlike(rx)
+             for guards, rx in _GOVT_PAYEE_BOOL_PATTERNS],
+        ),
         F.lit(False),
     )
+    # indicator contains-chain BEFORE the word-count split: & short-
+    # circuits left-to-right, so rows without any indicator never pay the
+    # split/filter/size allocation (same boolean).
     return (F.length(u) > 0) & (
         C.any_term(u, vocab.GOVT_ENTITIES)
         | pattern_hit
-        | ((F.size(words) <= 4) & C.any_term(u, vocab.GOVT_INDICATORS))
+        | (C.any_term(u, vocab.GOVT_INDICATORS) & (F.size(words) <= 4))
     )
 
 
