@@ -786,3 +786,51 @@ def test_boilerplate_ngrams_plan_pruned_no_window(spark):
         for s in schemas
     ), schemas
     assert df.count() > 0
+
+
+def test_minhash_sketch_prefilter_drops_nothing(spark):
+    """The r08 codegen-native sketch prefilter in _est_filtered_pairs is a
+    SOUND necessary condition: running the band self-join with the sketch
+    columns stripped (exact-estimator-only fallback path) must yield the
+    identical pair set and estimates. Uses the near-dup-planted corpus at
+    sf0.01 so real hot-band candidates flow through both paths."""
+    from pyspark.sql import functions as F
+
+    from cheque_ocr_project_spark.operators import dedup as DD
+    from cheque_ocr_project_spark.plans import queries as Q
+
+    docs = Q._docs_with_near_dups(spark, "/root/testdata/sf0.01")
+    banded = DD.minhash_banded(docs, "doc_id", "text", 64, 16, 5)
+
+    def pairs(b):
+        cols = ["id_a", "id_b", "sig_a", "sig_b"]
+        if "sk0" in b.columns:
+            cols += ["sk0_a", "sk1_a", "sk0_b", "sk1_b"]
+        left = b.select(
+            "band_key", F.col("id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            *([F.col("sk0").alias("sk0_a"), F.col("sk1").alias("sk1_a")]
+              if "sk0" in b.columns else []),
+        )
+        right = b.select(
+            "band_key", F.col("id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            *([F.col("sk0").alias("sk0_b"), F.col("sk1").alias("sk1_b")]
+              if "sk0" in b.columns else []),
+        )
+        cand = (
+            left.join(right, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(*cols)
+        )
+        return DD._est_filtered_pairs(cand, 0.5, 64)
+
+    with_sketch = {
+        (r.id_a, r.id_b): r.est_jaccard for r in pairs(banded).collect()
+    }
+    without = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in pairs(banded.drop("sk0", "sk1")).collect()
+    }
+    assert with_sketch == without
+    assert with_sketch  # non-empty: the planted clones must surface
