@@ -491,7 +491,7 @@ def q_pii_redact(spark, sf_dir):
         F.regexp_extract_all(after_email, F.lit(PII_NUMBER_RX), F.lit(0))
     )
     redacted = F.regexp_replace(after_email, PII_NUMBER_RX, "<NUM>")
-    return _docs_with_pii(spark, sf_dir).select(
+    return _par(_docs_with_pii(spark, sf_dir)).select(
         "doc_id",
         n_emails.alias("n_emails"),
         n_numbers.alias("n_numbers"),
@@ -537,7 +537,7 @@ def q_doc_chunks(spark, sf_dir):
         (F.greatest(n - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
         / F.lit(CHUNK_STRIDE)
     ).cast("int")
-    d = _docs(spark, sf_dir).select(
+    d = _par(_docs(spark, sf_dir)).select(
         "doc_id", tokens.alias("toks"), n.alias("n_tokens"),
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
@@ -665,7 +665,7 @@ def q_vocab_topk(spark, sf_dir):
     TakeOrderedAndProject (per-partition top-k, tiny driver merge) — the
     corpus never funnels through one sort task. Tie-break (count desc,
     term asc) matches the oracle exactly."""
-    d = _docs(spark, sf_dir).select(
+    d = _par(_docs(spark, sf_dir)).select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
         ).alias("term")
@@ -701,7 +701,7 @@ def q_oov_rate(spark, sf_dir):
     skewed term key; the per-doc agg re-combines map-side. ppm uses the
     cross-multiplied integer form (oov * 1e6 div n), exact and safe to
     ~9.2e12 tokens per document."""
-    toks = _docs(spark, sf_dir).select(
+    toks = _par(_docs(spark, sf_dir)).select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(
@@ -785,7 +785,7 @@ def q_token_freq_buckets(spark, sf_dir):
     fits); per-doc agg re-combines map-side; the corpus total rides a
     1-row broadcast cross join; the documents join-back is on the
     high-cardinality doc_id."""
-    docs = _docs(spark, sf_dir)
+    docs = _par(_docs(spark, sf_dir))
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -868,7 +868,7 @@ def q_source_token_budget(spark, sf_dir):
         F.regexp_extract_all(F.col("text"), F.lit(r"[^ \t\n\x0B\f\r]+"), F.lit(0))
     )
     per_src = (
-        _docs(spark, sf_dir).select("source", toks.alias("t"))
+        _par(_docs(spark, sf_dir)).select("source", toks.alias("t"))
         .groupBy("source")
         .agg(F.sum("t").alias("tokens"), F.count(F.lit(1)).alias("n_docs"))
     )
@@ -937,7 +937,7 @@ def q_tfidf_topk(spark, sf_dir):
     distinct (doc, term) pairs, never raw token rows. The config is
     therefore pinned where the contract session is prepared
     (__spark_entry__._pin_session_confs) and in tests/conftest.py, not assumed."""
-    d = _docs(spark, sf_dir).select(
+    d = _par(_docs(spark, sf_dir)).select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
@@ -1013,7 +1013,7 @@ def q_boilerplate_ngrams(spark, sf_dir):
     stage into an otherwise pure-JVM plan — the oracle checks the
     semantics; the hash is a mechanical key substitution."""
     toks = (
-        _docs(spark, sf_dir)
+        _par(_docs(spark, sf_dir))
         .select(
             "doc_id",
             F.regexp_extract_all(
@@ -1110,7 +1110,7 @@ def q_remove_boilerplate(spark, sf_dir):
     has no whale-partition sort; span order inside one doc is bounded by
     doc length). Final left joins restore zero-token docs with
     n_spans=0 and empty text_clean."""
-    toks = _docs(spark, sf_dir).select(
+    toks = _par(_docs(spark, sf_dir)).select(
         "doc_id",
         F.regexp_extract_all(
             F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
@@ -1224,7 +1224,7 @@ def q_collocations_topk(spark, sf_dir):
     for the same expression tree (the tfidf_topk doctrine — libm is
     the non-portable part, not arithmetic), unbounded in range, and
     collisions just become deterministic bigram-ordered ties."""
-    toks = _docs(spark, sf_dir).select(
+    toks = _par(_docs(spark, sf_dir)).select(
         F.regexp_extract_all(
             F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
         ).alias("t")
@@ -1304,7 +1304,7 @@ def q_lang_id(spark, sf_dir):
     n = F.size(tokens)
     ratio = F.when(n > 0, stop_hits / n).otherwise(0.0)
     lang = F.when(ratio >= 0.05, "en").otherwise("unk")
-    return _docs(spark, sf_dir).select("doc_id", lang.alias("lang_pred"))
+    return _par(_docs(spark, sf_dir)).select("doc_id", lang.alias("lang_pred"))
 
 
 def sql_lang_id():
@@ -1321,7 +1321,7 @@ FROM documents"""
 
 def q_fingerprint(spark, sf_dir):
     norm = F.trim(F.regexp_replace(F.upper(F.col("text")), r"\s+", " "))
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id", F.md5(norm).alias("fingerprint")
     )
 
@@ -1455,7 +1455,7 @@ def q_last_tokens(spark, sf_dir):
     tokens = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
     last3 = F.array_join(F.slice(tokens, -3, 3), " ")
     return (
-        _docs(spark, sf_dir)
+        _par(_docs(spark, sf_dir))
         .filter(F.size(tokens) >= 3)
         .select("doc_id", last3.alias("last_tokens"))
     )
@@ -2117,7 +2117,7 @@ def q_containment_pairs(spark, sf_dir):
     shuffle); per-doc totals are counted on the same filtered relation
     so the ratio is consistent. The pair agg and both count aggs are
     map-side combined; the ppm is exact cross-multiplied integer."""
-    toks = _docs_with_near_dups(spark, sf_dir).select(
+    toks = _par(_docs_with_near_dups(spark, sf_dir)).select(
         "doc_id",
         F.regexp_extract_all(
             F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)
@@ -3068,7 +3068,7 @@ def q_pack_sequences(spark, sf_dir):
     # rows-branch scan (chunk is a window partition key there), the two
     # exchange children differ, and ReuseExchange is lost (= corpus read
     # twice). doc_id is never null in the contract schema.
-    d = _docs(spark, sf_dir).select(
+    d = _par(_docs(spark, sf_dir)).select(
         "doc_id", "source", ws_tokens.alias("n_tokens"),
         F.coalesce(F.expr(f"doc_id div {PACK_CHUNK}"), F.lit(-1))
         .alias("chunk"),
@@ -3178,7 +3178,7 @@ def q_gopher_quality(spark, sf_dir):
     keep = None
     for g in gates.values():
         keep = g if keep is None else (keep & g)
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id", wc.alias("word_count"),
         stop_hits.alias("stop_hits"),
         *[c.alias(n) for n, c in gates.items()],
@@ -3248,7 +3248,7 @@ def q_rep_top_bigram(spark, sf_dir):
         F.slice(words, 1, n - 1), F.slice(words, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    d = _docs(spark, sf_dir).select(
+    d = _par(_docs(spark, sf_dir)).select(
         "doc_id", F.explode(bigrams).alias("gram")
     )
     cnt = d.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
@@ -3293,7 +3293,7 @@ def _docs_with_dup_lines(spark, sf_dir) -> DataFrame:
         F.col("doc_id") % 4 == 0,
         F.concat(F.lit("\nsection "), (F.col("doc_id") % 100).cast("string")),
     ).otherwise("")
-    return _docs(spark, sf_dir).select(
+    return _par(_docs(spark, sf_dir)).select(
         "doc_id", F.concat(F.col("text"), section, footer).alias("text")
     )
 
@@ -4449,7 +4449,7 @@ def q_corpus_filter_v3(spark, sf_dir):
     ).otherwise(True)
 
     gated = (
-        _docs(spark, sf_dir)
+        _par(_docs(spark, sf_dir))
         .filter((quality >= 0.5) & (stop_ratio >= 0.05) & gopher_ok & rep_ok)
         .select(
             "doc_id", "text",
@@ -4660,7 +4660,7 @@ def q_variant_keep_best(spark, sf_dir):
     )
     u = F.upper(F.array_join(lines, " "))
     staged = (
-        _docs(spark, sf_dir)
+        _par(_docs(spark, sf_dir))
         .select("doc_id", chosen.alias("ch"))
         .select(
             "doc_id",
