@@ -229,9 +229,18 @@ def cap_bucket_size(banded: DataFrame, key_col: str,
 
     No silent caps: callers that enable this should surface
     ``oversized_buckets(banded, key_col, max_bucket)`` (tiny aggregate) as
-    a logged metric alongside the result."""
+    a logged metric alongside the result.
+
+    Exchange-sharing note (r08): the banded relation is repartitioned by
+    the bucket key FIRST, so the count-aggregate, and afterwards BOTH
+    sides of the caller's self-join (which needs exactly this hash
+    distribution), all read ONE shared exchange instead of three
+    lineages each recomputing the Arrow signature stage — q_corpus_filter
+    measured 4 MapInPandas stages in one plan before this. Same rows,
+    same key space; purely a physical-plan change."""
     if max_bucket is None:
         return banded
+    banded = banded.repartition(F.col(key_col))
     big = (
         banded.groupBy(key_col).count()
         .filter(F.col("count") > max_bucket)
