@@ -79,18 +79,33 @@ def remove_prefixes_v3(text: str | None) -> str | None:
     return s.strip()
 
 
+# One-scan guards for the ordered strip chains (r08): if NO pattern in a
+# chain matches the CURRENT string, every sub in that chain is a no-op and
+# the chain can be skipped wholesale — exact, because the guard is checked
+# against the same string the chain would receive. Alternation order
+# doesn't matter for a boolean search.
+_TITLE_ANY = re.compile(
+    "|".join(f"(?:{p})" for p in vocab.TITLE_PATTERNS), re.IGNORECASE
+)
+_SUFFIX_ANY = re.compile(
+    "|".join(f"(?:{p})" for p in vocab.COMPANY_SUFFIX_PATTERNS), re.IGNORECASE
+)
+
+
 def clean_payee(raw: str | None) -> str:
     """Full payee cleaning chain with XXX fallback (payee_cleaner.py:101-145)."""
     if not raw:
         return "XXX"
     s = raw.upper().strip()
-    for rx in _TITLE_RES:
-        s = rx.sub("", s)
+    if _TITLE_ANY.search(s):
+        for rx in _TITLE_RES:
+            s = rx.sub("", s)
     for ch, repl in vocab.SPECIAL_CHAR_MAP:
         if ch in s:
             s = s.replace(ch, repl)
-    for rx in _SUFFIX_RES:
-        s = rx.sub("", s)
+    if _SUFFIX_ANY.search(s):
+        for rx in _SUFFIX_RES:
+            s = rx.sub("", s)
     s = _WS.sub(" ", s).strip()
     s = _NON_WORDISH.sub("", s)
     if not s or len(s) < 2:

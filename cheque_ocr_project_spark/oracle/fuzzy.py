@@ -31,6 +31,59 @@ def build_drawer_dict(raw_names: Iterable[str]) -> list[str]:
     return sorted(names)
 
 
+# Per-dictionary length index for the match_name_v1 fast path, keyed by
+# id(list) (one dictionary per job; the entry pins the list so the id
+# cannot be recycled). The fast path is EXACTLY get_close_matches(n=1):
+# difflib's first gate is real_quick_ratio = 2*min(la,lb)/(la+lb) >=
+# cutoff, which depends only on lengths — pre-sorting the dictionary by
+# length turns that gate into a contiguous slice, and because the n=1
+# result is max((ratio, name)) over the survivors (heapq.nlargest on the
+# score/name tuples), iteration order cannot change the answer.
+_LEN_INDEX: dict[int, tuple] = {}
+
+
+def _length_index(drawer_dict: list[str]) -> tuple:
+    import bisect
+
+    key = id(drawer_dict)
+    hit = _LEN_INDEX.get(key)
+    if hit is not None and hit[0] is drawer_dict:
+        return hit
+    by_len = sorted(drawer_dict, key=len)
+    lens = [len(x) for x in by_len]
+    entry = (drawer_dict, by_len, lens, bisect)
+    _LEN_INDEX.clear()          # one live dictionary per job
+    _LEN_INDEX[key] = entry
+    return entry
+
+
+def _closest_v1(text: str, drawer_dict: list[str],
+                cutoff: float = 0.78) -> str | None:
+    """= difflib.get_close_matches(text, drawer_dict, n=1, cutoff)[0]
+    (or None): same gates (real_quick_ratio/quick_ratio/ratio >= cutoff),
+    same winner (max of (ratio, name)), evaluated only over the length
+    window where the first gate can pass — 2*min(la,lb)/(la+lb) >= cutoff
+    iff la in [cutoff*lb/(2-cutoff), lb*(2-cutoff)/cutoff]."""
+    _, by_len, lens, bisect = _length_index(drawer_dict)
+    lb = len(text)
+    # +-0.5 margin: the window only needs to be a SUPERSET of difflib's
+    # real_quick_ratio pass set (the exact gate still runs per candidate
+    # below), so float rounding at the boundary can never drop a match
+    lo = bisect.bisect_left(lens, cutoff * lb / (2.0 - cutoff) - 0.5)
+    hi = bisect.bisect_right(lens, lb * (2.0 - cutoff) / cutoff + 0.5)
+    s = difflib.SequenceMatcher()
+    s.set_seq2(text)
+    best = None
+    for x in by_len[lo:hi]:
+        s.set_seq1(x)
+        if (s.real_quick_ratio() >= cutoff
+                and s.quick_ratio() >= cutoff):
+            r = s.ratio()
+            if r >= cutoff and (best is None or (r, x) > best):
+                best = (r, x)
+    return best[1] if best else None
+
+
 def match_name_v1(text: str | None, drawer_dict: list[str],
                   cache: dict | None = None) -> tuple[str | None, float]:
     """Optional memo cache = the reference's per-run match cache
@@ -45,11 +98,10 @@ def match_name_v1(text: str | None, drawer_dict: list[str],
     if text in drawer_dict:
         result = (text, 1.0)
     else:
-        matches = difflib.get_close_matches(text, drawer_dict, n=1, cutoff=0.78)
-        if not matches:
+        best = _closest_v1(text, drawer_dict, cutoff=0.78)
+        if best is None:
             result = (None, 0.0)
         else:
-            best = matches[0]
             result = (best, difflib.SequenceMatcher(None, text, best).ratio())
     if cache is not None:
         cache[text] = result
