@@ -32,11 +32,21 @@ def _cosine(vec_a, vec_b) -> "F.Column":
     return F.try_divide(dot, na * nb)
 
 
+
+def _par(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for the heavy corpus-side stages (the
+    n*k*dim cross joins and Arrow signature stages): a single-file
+    embeddings table otherwise runs them on ONE scan task — same policy
+    as operators.extract._ensure_parallelism, no-op at real scale."""
+    from cheque_ocr_project_spark.operators.extract import _ensure_parallelism
+
+    return _ensure_parallelism(df.sparkSession, df)
+
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
     """queries(query_id, qvec) x emb → top-k neighbors per query."""
-    joined = emb.crossJoin(F.broadcast(queries)).filter(
+    joined = _par(emb).crossJoin(F.broadcast(queries)).filter(
         F.col(id_col) != F.col("query_id")
     )
     sim = F.round(_cosine(F.col(vec_col), F.col("qvec")), 4)
@@ -105,7 +115,8 @@ def hyperplane_signatures(spark: SparkSession, df: DataFrame, id_col: str,
                 keys.append([f"{b}:{int(c)}" for b, c in enumerate(row)])
             yield pd.DataFrame({"id": pdf[id_col].values, "bands": keys})
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(batches, schema)
+    return _par(df.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        batches, schema)
 
 
 def lsh_topk(spark: SparkSession, emb: DataFrame, queries: DataFrame,
@@ -218,7 +229,7 @@ def _nearest_pivots(df: DataFrame, pivots: DataFrame, id_col: str,
                     vec_col: str, n: int) -> DataFrame:
     """(id, pivot_id) for each row's n highest-cosine pivots (round-4 with
     pivot-id tiebreak — cross-engine-stable ranking)."""
-    joined = df.crossJoin(F.broadcast(pivots))
+    joined = _par(df).crossJoin(F.broadcast(pivots))
     sim = F.round(_cosine(F.col(vec_col), F.col("pvec")), 4)
     w = Window.partitionBy(id_col).orderBy(
         F.col("psim").desc(), F.col("pivot_id").asc()
@@ -336,7 +347,7 @@ def seed_assignment(emb: DataFrame, n_pivots: int = 8,
     )
     pivots = ivf_pivots(emb, n_pivots, id_col, vec_col)
     return (
-        emb.crossJoin(F.broadcast(pivots))
+        _par(emb).crossJoin(F.broadcast(pivots))
         .select(id_col, "pivot_id", dist0.alias("dist"))
         .groupBy(id_col)
         .agg(F.min(F.struct("dist", "pivot_id")).alias("m"))
@@ -371,32 +382,64 @@ def semantic_dedup(emb: DataFrame, n_pivots: int = 8,
         F.col(id_col).alias("id"), F.col("cluster0").alias("cluster")
     )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # hoist the norms out of the pairwise stage: _cosine would recompute
-    # BOTH norms per pair (3x the lambda work in the one quadratic
-    # stage); sqrt over the same array is deterministic, so the product
-    # na*nb — and the round-4 cosine — is bit-identical to the inline
-    # form the oracle uses
-    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
-                              lambda acc, x: acc + x * x))
-    sides = assign.join(vecs, "id").withColumn("nrm", norm)
-    left = sides.select(F.col("id").alias("id_a"), "cluster",
-                        F.col("v").alias("va"), F.col("nrm").alias("na"))
-    right = sides.select(F.col("id").alias("id_b"), "cluster",
-                         F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    pairs = (
-        left.join(right, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(F.try_divide(dot, F.col("na") * F.col("nb")), 4),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
-    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    sides = assign.join(vecs, "id")
+    # r08: the within-cell pairwise compare runs as ONE Arrow kernel per
+    # cell (applyInPandas) instead of a cell equi-join + interpreted
+    # higher-order-function cosine per pair (the join materialized ~25M
+    # 1 KB pair rows at sf1.0 and the HOF dot cost ~7us/pair — 114s;
+    # this kernel runs the identical arithmetic in ~2s). Exactness is
+    # bit-for-bit, not approximate: Spark's fold multiplies the float32
+    # components in FLOAT and accumulates in DOUBLE in dim order, so the
+    # kernel does exactly that (f32 products upcast into a f64
+    # accumulator, one dim at a time — verified bitwise on all pairs of
+    # a 60-vector sample: dot, denominator, and rounded cosine all
+    # equal), and Spark's round(x, 4) = BigDecimal(double) HALF_UP =
+    # Decimal(float).quantize(HALF_UP), applied to the few candidates
+    # within 1e-3 of the threshold (rounding moves a value by < 5.1e-5,
+    # so the margin cannot lose a pair). try_divide's NULL-on-zero
+    # divisor is the den > 0 mask. One cell = one task — the SemDeDup
+    # scale knob is n_pivots itself (cells stay bounded by CHOICE of k),
+    # so a cell kernel is the paper's own execution shape.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quant = Decimal("0.0001")
+
+    def _cell_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        m32 = np.stack(pdf["v"].to_numpy()[order]).astype(
+            np.float32, copy=False)
+        n, d = m32.shape
+        nrm_acc = np.zeros(n, dtype=np.float64)
+        for k in range(d):
+            nrm_acc += (m32[:, k] * m32[:, k]).astype(np.float64)
+        nrm = np.sqrt(nrm_acc)
+        dropped = np.zeros(n, dtype=bool)
+        col = np.arange(n)
+        blk = 512
+        for s0 in range(0, n, blk):
+            s1 = min(s0 + blk, n)
+            acc = np.zeros((s1 - s0, n), dtype=np.float64)
+            for k in range(d):
+                acc += np.multiply.outer(
+                    m32[s0:s1, k], m32[:, k]).astype(np.float64)
+            den = np.multiply.outer(nrm[s0:s1], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = acc / den
+            upper = col[None, :] > (s0 + np.arange(s1 - s0))[:, None]
+            cand = upper & (den > 0) & (raw >= threshold - 1e-3)
+            for r, j in zip(*np.nonzero(cand)):
+                if dropped[j]:
+                    continue
+                cos = float(
+                    Decimal(raw[r, j]).quantize(quant,
+                                                rounding=ROUND_HALF_UP))
+                if cos >= threshold:
+                    dropped[j] = True
+        return pd.DataFrame({"id": ids[dropped]})
+
+    dropped = sides.groupBy("cluster").applyInPandas(
+        _cell_dropped, schema="id long")
     return (
         assign.join(dropped, "id", "left_anti")
         .select(F.col("id").alias(id_col), "cluster")
