@@ -91,6 +91,16 @@ def _load_ner():
     return run
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for the per-row model stages — a
+    single-file transcripts scan otherwise pins the whole Arrow batch
+    loop on one task (same policy as extract._ensure_parallelism; no-op
+    at real scale)."""
+    from cheque_ocr_project_spark.operators.extract import _ensure_parallelism
+
+    return _ensure_parallelism(df.sparkSession, df)
+
+
 def ner_entities(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
     """Per-turn named entities (U2 shape: lazy per-worker model init)."""
 
@@ -109,7 +119,7 @@ def ner_entities(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
                 "backend": backends,
             })
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+    return _par(transcripts.select("conv_id", "turn_idx", "text")).mapInPandas(
         batches, schema=NER_SCHEMA
     )
 
@@ -191,7 +201,7 @@ def zero_shot_classify(spark: SparkSession, transcripts: DataFrame,
                 "label": labs, "score": scores, "backend": backends,
             })
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+    return _par(transcripts.select("conv_id", "turn_idx", "text")).mapInPandas(
         batches, schema=ZERO_SHOT_SCHEMA
     )
 
@@ -264,7 +274,7 @@ def qa_extract(spark: SparkSession, transcripts: DataFrame,
                 "answer": answers, "score": scores, "backend": backends,
             })
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+    return _par(transcripts.select("conv_id", "turn_idx", "text")).mapInPandas(
         batches, schema=QA_SCHEMA
     )
 
@@ -346,6 +356,6 @@ def t5_spell_correct(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
                 "corrected": outs, "spell_conf": confs, "backend": backends,
             })
 
-    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+    return _par(transcripts.select("conv_id", "turn_idx", "text")).mapInPandas(
         batches, schema=T5_SCHEMA
     )

@@ -4839,12 +4839,22 @@ def q_model_ensemble(spark, sf_dir):
     stop_hits = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
     context = F.when(F.size(toks) > 0, stop_hits / F.size(toks)).otherwise(0.0)
     spelling = F.lit(1.0) - C.n_digit(F.col("text")) / F.length(F.col("text"))
-    ens = M.ensemble_confidence(ocr, ner, context, spelling)
-    return d.select(
+    # r08: stage the four component signals once, then combine from
+    # attribute refs — the inline form re-evaluated every heavy HOF
+    # component a second time inside the ensemble expression (same
+    # doubles either way); _par parallelizes the single-file scan.
+    staged = _par(d).select(
         "conv_id", "turn_idx",
         ocr.alias("ocr_conf"), ner.alias("ner_conf"),
         context.alias("context_conf"), spelling.alias("spelling_conf"),
-        ens.alias("ensemble"),
+    )
+    return staged.select(
+        "conv_id", "turn_idx",
+        "ocr_conf", "ner_conf", "context_conf", "spelling_conf",
+        M.ensemble_confidence(
+            F.col("ocr_conf"), F.col("ner_conf"),
+            F.col("context_conf"), F.col("spelling_conf"),
+        ).alias("ensemble"),
     )
 
 
