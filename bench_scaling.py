@@ -70,7 +70,7 @@ dt = time.perf_counter() - t0
 print(json.dumps({"cpus": cpus, "turns": n, "sec": dt, "tps": n / dt,
                   "load": load, "load_ambient": load_ambient,
                   "gate_wait_s": gate_wait_s,
-                  "gate_timed_out": load_ambient > 2.0}))
+                  "gate_timed_out": load_ambient > GATE_LOAD}))
 spark.stop()
 """
 

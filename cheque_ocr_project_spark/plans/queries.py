@@ -1861,9 +1861,25 @@ def q_streaming_novelty(spark, sf_dir):
     The sweep timing for this row is adapter-dominated (staging +
     trigger/poll quantization) — see bench.py ADAPTER_TIMED."""
     import os
+    import shutil
     import tempfile
+    import time as _time
+    from pathlib import Path
 
     from cheque_ocr_project_spark.streaming import stream as ST
+
+    # bounded scratch (ADVICE r07): sweep hour-old staging dirs from
+    # prior invocations — mirrors the novelty_banded_* sweep — and
+    # remove each part dir as soon as its one file is moved out.
+    tmp_root = Path(tempfile.gettempdir())
+    cutoff = _time.time() - 3600
+    for prefix in ("novelty_stream_", "novelty_part"):
+        for old in tmp_root.glob(f"{prefix}*"):
+            try:
+                if old.is_dir() and old.stat().st_mtime < cutoff:
+                    shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
 
     docs = _docs_with_near_dups(spark, sf_dir).select("doc_id", "text")
     stage = tempfile.mkdtemp(prefix="novelty_stream_in_")
@@ -1883,6 +1899,7 @@ def q_streaming_novelty(spark, sf_dir):
         dst = os.path.join(stage, f"batch_{i}.parquet")
         os.replace(os.path.join(part, src), dst)
         os.utime(dst, (base + i, base + i))
+        shutil.rmtree(part, ignore_errors=True)
 
     t = MINHASH_STREAM_NOVELTY_TABLE
     _drop_table_and_location(spark, t)

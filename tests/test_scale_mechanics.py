@@ -834,3 +834,52 @@ def test_minhash_sketch_prefilter_drops_nothing(spark):
     }
     assert with_sketch == without
     assert with_sketch  # non-empty: the planted clones must surface
+
+
+def test_compaction_rollback_clears_orphaned_base_dir(spark, tmp_path):
+    """ADVICE r07: roll-back (old -> table) must survive an orphaned
+    base-table warehouse DIRECTORY left by a dead session — the rename
+    would otherwise fail with LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cheque_ocr_project_spark.operators import dedup as DD
+    from cheque_ocr_project_spark.sources.io import drop_table_and_location
+
+    t = "t_rollback_orphan_idx"
+    corpus = spark.createDataFrame(
+        [(i, f"rollback orphan corpus document number {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    try:
+        drop_table_and_location(spark, t)
+        drop_table_and_location(spark, f"{t}__old")
+        DD.persist_minhash_index(corpus, t, "doc_id", "text", n_buckets=4)
+        # simulate a crash BETWEEN the swap renames: table -> old done,
+        # tmp -> table never happened...
+        spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
+        # ...and a dead session left an orphaned directory at the base path
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        orphan = os.path.join(wh, t.lower())
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "stale.bin"), "w") as fh:
+            fh.write("leftover")
+
+        DD._recover_crashed_compaction(spark, t)
+
+        assert spark.catalog.tableExists(t)
+        assert not spark.catalog.tableExists(f"{t}__old")
+        # the rolled-back index is probe-able
+        probe = spark.createDataFrame(
+            [(100, "rollback orphan corpus document number 3")],
+            "doc_id long, text string",
+        )
+        pairs = DD.incremental_minhash_pairs(
+            spark, probe, t, "doc_id", "text", threshold=0.5
+        )
+        assert pairs.filter(F.col("id_b") == 3).count() == 1
+    finally:
+        drop_table_and_location(spark, t)
+        drop_table_and_location(spark, f"{t}__old")
+        drop_table_and_location(spark, f"{t}__delta")
