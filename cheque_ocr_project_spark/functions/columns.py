@@ -54,6 +54,8 @@ def count_matching(col: Column, char_class: str) -> Column:
 # listed chars.
 _ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 _DIGIT_CHARS = "0123456789"
+# the literal char set of the class [\w\s.\-] (Java \w and \s are ASCII)
+_WORDISH_CHARS = _ALPHA_CHARS + _DIGIT_CHARS + "_ \t\n\x0b\f\r.-"
 
 
 def count_chars(col: Column, chars: str) -> Column:
@@ -122,19 +124,34 @@ def pystrip(col: Column) -> Column:
     return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
+def _guarded_chain_strip(col: Column, patterns) -> Column:
+    """The ordered strip chain behind a one-scan combined-alternation
+    guard (r08, mirrors oracle.cleaning's guard): when NO pattern matches
+    the CURRENT string every sub in the chain is a no-op, so skipping the
+    whole chain is exact — one regex scan instead of len(patterns) for
+    the common no-match row. CASE branches are lazy in codegen and the
+    double reference to ``col`` is CSE'd within the projection."""
+    any_rx = "(?i)" + "|".join(f"(?:{p})" for p in patterns)
+    return F.when(col.rlike(any_rx),
+                  _chain_regex_strip(col, patterns)).otherwise(col)
+
+
 def clean_payee(col: Column) -> Column:
     """= oracle.cleaning.clean_payee (ordered title/special/suffix chain)."""
     s = pystrip(F.upper(col))
-    s = _chain_regex_strip(s, vocab.TITLE_PATTERNS)
+    s = _guarded_chain_strip(s, vocab.TITLE_PATTERNS)
     for ch, repl in vocab.SPECIAL_CHAR_MAP:
         s = F.replace(s, F.lit(ch), F.lit(repl))
-    s = _chain_regex_strip(s, vocab.COMPANY_SUFFIX_PATTERNS)
+    s = _guarded_chain_strip(s, vocab.COMPANY_SUFFIX_PATTERNS)
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
-    # plain replace on purpose: a replace_not_in guard here would reference
-    # the 40-op upstream chain 3x (when/translate/otherwise) — measured
-    # 0.5s -> 2.5s at sf0.1; payee inputs are short, so the slow-class
-    # scan cliff doesn't bite
-    s = F.regexp_replace(s, r"[^\w\s\.\-]", "")
+    # r08 re-measurement: the negated-class regex was the single most
+    # expensive step of the chain (0.61s vs a 0.33s stage floor at
+    # sf1.0); the translate dirty-check guard now wins (0.27s) — the
+    # r03 3x-tree-reference regression it was rejected for no longer
+    # reproduces (codegen subexpression elimination carries the
+    # multi-referenced chain; full-chain timing improved, see
+    # OPTIMIZATION_r08.md).
+    s = replace_not_in(s, _WORDISH_CHARS, r"\w\s\.\-", "")
     return F.when(
         col.isNull() | (F.length(col) == 0) | (F.length(s) < 2), F.lit("XXX")
     ).otherwise(s)
