@@ -143,10 +143,16 @@ def test_plan_shapes_hold(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
-    # Gopher gates: pure per-row array expressions — no shuffle, no UDF,
-    # and the scan reads only (doc_id, text)
+    # Gopher gates: per-row array expressions — no UDF, no Window, no KEY
+    # shuffle, and the scan reads only (doc_id, text). r08: one
+    # round-robin repartition is allowed — the scale-adaptive scan
+    # parallelism for single-file small-SF inputs (plans.queries._par,
+    # no-op at real scale); any keyed exchange would still fail here.
+    plan_txt = reg["gopher_quality"](spark, sf)._jdf.queryExecution() \
+        .executedPlan().toString()
     found, schemas = ops("gopher_quality")
-    assert found.count("Exchange") == 0 and found.count("Window") == 0
+    assert found.count("Exchange") <= 1 and found.count("Window") == 0
+    assert "hashpartitioning" not in plan_txt and "rangepartitioning" not in plan_txt
     assert all("lang" not in s and "source" not in s for s in schemas)
 
     # as-of join via union + running last: ONE scan, ONE shuffle on the
@@ -165,9 +171,14 @@ def test_plan_shapes_hold(spark):
     assert found.count("Exchange") == 1
     assert found.count("SortMergeJoin") + found.count("BroadcastHashJoin") == 0
 
-    # single Arrow pass + explode, zero shuffles
+    # single Arrow pass + explode; no KEY shuffle (r08: one round-robin
+    # repartition allowed — scale-adaptive scan parallelism, no-op at
+    # real scale)
+    ner_txt = reg["ner_entities"](spark, sf)._jdf.queryExecution() \
+        .executedPlan().toString()
     found, _ = ops("ner_entities")
-    assert found.count("Exchange") == 0
+    assert found.count("Exchange") <= 1
+    assert "hashpartitioning" not in ner_txt and "rangepartitioning" not in ner_txt
     assert found.count("MapInPandas") == 1
 
     # distributed TakeOrderedAndProject pivots — never a partitionless
