@@ -128,9 +128,15 @@ def issuer_for_scan(lines: list[tuple[str, float]],
 
 def process_turn_issuer_v1(text: str | None, drawer_dict: list[str],
                            threshold: float = DEFAULT_THRESHOLD_V1,
-                           cache: dict | None = None) -> tuple[str, float]:
-    """Full V1 issuer path for one turn: FOR scan → candidates → gates."""
-    lines = split_lines(text)
+                           cache: dict | None = None,
+                           lines: list[tuple[str, float]] | None = None
+                           ) -> tuple[str, float]:
+    """Full V1 issuer path for one turn: FOR scan → candidates → gates.
+
+    ``lines`` = optional precomputed split_lines(text) (see
+    process_turn_payee) — pure memoization."""
+    if lines is None:
+        lines = split_lines(text)
     if not lines:
         return "XXX", 0.0
 

@@ -25,9 +25,16 @@ def mean_confidence(lines: list[tuple[str, float]]) -> float:
     return sum(conf for _raw, conf in lines) / len(lines)
 
 
-def process_turn_payee(text: str | None) -> dict:
-    """Classification + payee extraction + government rules for one turn."""
-    lines = issuer.split_lines(text)
+def process_turn_payee(text: str | None,
+                       lines: list[tuple[str, float]] | None = None) -> dict:
+    """Classification + payee extraction + government rules for one turn.
+
+    ``lines`` may be the precomputed split_lines(text) relation (pure
+    memoization — extract_turn computes it once for both the payee and
+    issuer paths; r08 profile showed the split + per-line confidence
+    evaluated twice per turn)."""
+    if lines is None:
+        lines = issuer.split_lines(text)
     result = {
         "success": False,
         "cheque_type": None,

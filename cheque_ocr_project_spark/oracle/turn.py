@@ -85,9 +85,10 @@ def extract_turn(text: str | None, role: str | None, tool: str | None,
     else:
         content = text or ""
 
-    payee_result = payee_mod.process_turn_payee(content)
+    lines = issuer_mod.split_lines(content)
+    payee_result = payee_mod.process_turn_payee(content, lines=lines)
     issuer_name, issuer_conf = issuer_mod.process_turn_issuer_v1(
-        content, drawer_dict, threshold, cache
+        content, drawer_dict, threshold, cache, lines=lines
     )
 
     full_text = payee_result["full_text"]
