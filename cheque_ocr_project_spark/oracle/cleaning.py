@@ -28,6 +28,12 @@ _NON_ALPHA_SPACE = re.compile(r"[^A-Z\s]")
 _NON_WORD_OR_SPACE = re.compile(r"[^\w\s]")
 
 
+# one-pass form of the four sequential confusion replaces: the rules map
+# distinct single chars and no output char (O/I/S) is an input char
+# (0/1/|/5), so simultaneous translation == the ordered replace chain
+_V1_CONFUSION = str.maketrans({"0": "O", "1": "I", "|": "I", "5": "S"})
+
+
 def clean_text_v1(text: str | None) -> str:
     """OCR-confusion normalize, charset strip, whitespace collapse.
 
@@ -35,8 +41,7 @@ def clean_text_v1(text: str | None) -> str:
     """
     if not text:
         return "XXX"
-    s = text.upper()
-    s = s.replace("0", "O").replace("1", "I").replace("|", "I").replace("5", "S")
+    s = text.upper().translate(_V1_CONFUSION)
     s = _NON_CHARSET_V1.sub(" ", s)
     return " ".join(s.split()).strip()
 
