@@ -410,30 +410,38 @@ def semantic_dedup(emb: DataFrame, n_pivots: int = 8,
         m32 = np.stack(pdf["v"].to_numpy()[order]).astype(
             np.float32, copy=False)
         n, d = m32.shape
+        # f64 accumulator += f32 product: the ufunc upcasts the float32
+        # operand losslessly per element — bit-identical to an explicit
+        # astype copy, without materializing the copy
         nrm_acc = np.zeros(n, dtype=np.float64)
         for k in range(d):
-            nrm_acc += (m32[:, k] * m32[:, k]).astype(np.float64)
+            nrm_acc += m32[:, k] * m32[:, k]
         nrm = np.sqrt(nrm_acc)
         dropped = np.zeros(n, dtype=bool)
-        col = np.arange(n)
         blk = 512
         for s0 in range(0, n, blk):
             s1 = min(s0 + blk, n)
-            acc = np.zeros((s1 - s0, n), dtype=np.float64)
+            # only columns j > s0 can be upper-triangle partners of this
+            # row block — halves the rectangle on average
+            c0 = s0 + 1
+            if c0 >= n:
+                break
+            acc = np.zeros((s1 - s0, n - c0), dtype=np.float64)
             for k in range(d):
-                acc += np.multiply.outer(
-                    m32[s0:s1, k], m32[:, k]).astype(np.float64)
-            den = np.multiply.outer(nrm[s0:s1], nrm)
+                acc += np.multiply.outer(m32[s0:s1, k], m32[c0:, k])
+            den = np.multiply.outer(nrm[s0:s1], nrm[c0:])
             with np.errstate(divide="ignore", invalid="ignore"):
                 raw = acc / den
-            upper = col[None, :] > (s0 + np.arange(s1 - s0))[:, None]
+            upper = (np.arange(c0, n)[None, :]
+                     > (s0 + np.arange(s1 - s0))[:, None])
             cand = upper & (den > 0) & (raw >= threshold - 1e-3)
-            for r, j in zip(*np.nonzero(cand)):
+            for r, jj in zip(*np.nonzero(cand)):
+                j = c0 + jj
                 if dropped[j]:
                     continue
                 cos = float(
-                    Decimal(raw[r, j]).quantize(quant,
-                                                rounding=ROUND_HALF_UP))
+                    Decimal(raw[r, jj]).quantize(quant,
+                                                 rounding=ROUND_HALF_UP))
                 if cos >= threshold:
                     dropped[j] = True
         return pd.DataFrame({"id": ids[dropped]})
