@@ -158,11 +158,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        seed: int = DEFAULT_SEED) -> DataFrame:
     """id → array<long> MinHash signature (numpy over the whole batch).
 
-    Also emits the 2-bit-per-position sketch (``sk0``/``sk1``: bit j of
-    sk_i is bit i of sig[j], packed for j < 64) that backs the codegen-
-    native candidate prefilter in _est_filtered_pairs — computed here in
-    numpy where it costs two vectorized passes, instead of per candidate
-    pair in the join."""
+    Also emits the 4-bit-per-position sketch (``sk0``..``sk3``: bit j of
+    sk_i is a hash bit of sig[j], packed for j < 64) that backs the
+    codegen-native candidate prefilter in _est_filtered_pairs — computed
+    here in numpy where it costs four vectorized passes, instead of per
+    candidate pair in the join. Four planes because the small-vocab
+    corpus's band candidates genuinely share 15-25 of 64 positions
+    (their minima come from the same common-shingle pool): with 2 bits
+    a non-matching position agrees with p=1/4 and m=25 pairs still
+    cleared the need=32 bound ~23% of the time; at p=1/16 the expected
+    agreement for m=25 is 27 < 32 and the survivor set collapses to
+    the genuinely near-threshold pairs."""
     a, b = perm_constants(num_perm, seed)
 
     schema = T.StructType([
@@ -170,6 +176,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         T.StructField("sig", T.ArrayType(T.LongType())),
         T.StructField("sk0", T.LongType()),
         T.StructField("sk1", T.LongType()),
+        T.StructField("sk2", T.LongType()),
+        T.StructField("sk3", T.LongType()),
     ])
     n_pack = min(num_perm, 64)
     weights = (np.uint64(1) << np.arange(n_pack, dtype=np.uint64))
@@ -193,15 +201,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             # keeps the filter sound (equal values => equal bits).
             packed = sig[:n_pack].astype(np.uint64)  # (n_pack, n_rows)
             mixed = packed * np.uint64(0x9E3779B97F4A7C15)  # mod 2^64
-            sk0 = (((mixed >> np.uint64(63)) & np.uint64(1))
-                   * weights[:, None]).sum(axis=0, dtype=np.uint64).view(np.int64)
-            sk1 = (((mixed >> np.uint64(62)) & np.uint64(1))
-                   * weights[:, None]).sum(axis=0, dtype=np.uint64).view(np.int64)
+            sks = [
+                (((mixed >> np.uint64(63 - i)) & np.uint64(1))
+                 * weights[:, None]).sum(axis=0, dtype=np.uint64)
+                .view(np.int64)
+                for i in range(4)
+            ]
             yield pd.DataFrame({
                 "id": pdf[id_col].values,
                 "sig": list(sig.T),
-                "sk0": sk0,
-                "sk1": sk1,
+                "sk0": sks[0],
+                "sk1": sks[1],
+                "sk2": sks[2],
+                "sk3": sks[3],
             })
 
     src = _parallel(df.select(F.col(id_col), F.col(text_col)))
@@ -267,7 +279,8 @@ def minhash_banded(df: DataFrame, id_col: str, text_col: str,
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    return sigs.select("id", "sig", "sk0", "sk1", band_idx).withColumn(
+    return sigs.select("id", "sig", "sk0", "sk1", "sk2", "sk3",
+                       band_idx).withColumn(
         "band_key",
         F.xxhash64(
             F.col("band"),
@@ -313,18 +326,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     left = banded.select(
         F.col("band_key"),
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
-        F.col("sk0").alias("sk0_a"), F.col("sk1").alias("sk1_a"),
+        *[F.col(f"sk{i}").alias(f"sk{i}_a") for i in range(4)],
     )
     right = banded.select(
         F.col("band_key"),
         F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
-        F.col("sk0").alias("sk0_b"), F.col("sk1").alias("sk1_b"),
+        *[F.col(f"sk{i}").alias(f"sk{i}_b") for i in range(4)],
     )
-    cand = (
+    cand = _select_pair_cols(
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b",
-                "sk0_a", "sk1_a", "sk0_b", "sk1_b")
     )
     return _est_filtered_pairs(cand, threshold, num_perm)
 
@@ -389,10 +400,12 @@ def _est_filtered_pairs(cand: DataFrame, threshold: float,
             (m for m in range(num_perm + 1) if m / num_perm >= threshold),
             num_perm + 1,
         )
-        agreements = F.lit(num_perm) - F.bit_count(
-            (F.col("sk0_a").bitwiseXOR(F.col("sk0_b")))
-            .bitwiseOR(F.col("sk1_a").bitwiseXOR(F.col("sk1_b")))
+        disagree = reduce(
+            lambda x, y: x.bitwiseOR(y),
+            [F.col(f"sk{i}_a").bitwiseXOR(F.col(f"sk{i}_b"))
+             for i in range(4)],
         )
+        agreements = F.lit(num_perm) - F.bit_count(disagree)
         pre = cand.filter(agreements >= F.lit(need))
     return (
         pre.withColumn("est_jaccard", _est_jaccard(num_perm))
@@ -523,8 +536,8 @@ def _incremental_candidates_banded(spark, new_banded: DataFrame,
             F.col("sig").alias(f"sig_{suffix}"),
         ]
         if with_sk:
-            cols += [F.col("sk0").alias(f"sk0_{suffix}"),
-                     F.col("sk1").alias(f"sk1_{suffix}")]
+            cols += [F.col(f"sk{i}").alias(f"sk{i}_{suffix}")
+                     for i in range(4)]
         return df.select(*cols)
 
     probe = side(new_banded, "a")
@@ -563,7 +576,7 @@ def _select_pair_cols(cand: DataFrame) -> DataFrame:
     _est_filtered_pairs)."""
     cols = ["id_a", "id_b", "sig_a", "sig_b"]
     if "sk0_a" in cand.columns:
-        cols += ["sk0_a", "sk1_a", "sk0_b", "sk1_b"]
+        cols += [f"sk{i}_{s}" for s in ("a", "b") for i in range(4)]
     return cand.select(*cols)
 
 
@@ -667,10 +680,10 @@ def novelty_ingest_batch(spark, batch_df: DataFrame, table: str,
 
     left = bd.select("band_key", F.col("id").alias("id_a"),
                      F.col("sig").alias("sig_a"),
-                     F.col("sk0").alias("sk0_a"), F.col("sk1").alias("sk1_a"))
+                     *[F.col(f"sk{i}").alias(f"sk{i}_a") for i in range(4)])
     right = bd.select("band_key", F.col("id").alias("id_b"),
                       F.col("sig").alias("sig_b"),
-                      F.col("sk0").alias("sk0_b"), F.col("sk1").alias("sk1_b"))
+                      *[F.col(f"sk{i}").alias(f"sk{i}_b") for i in range(4)])
     within_cand = _select_pair_cols(
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -813,21 +813,24 @@ def test_minhash_sketch_prefilter_drops_nothing(spark):
     docs = Q._docs_with_near_dups(spark, "/root/testdata/sf0.01")
     banded = DD.minhash_banded(docs, "doc_id", "text", 64, 16, 5)
 
+    sk_cols = [c for c in banded.columns if c.startswith("sk")]
+
     def pairs(b):
+        has_sk = "sk0" in b.columns
         cols = ["id_a", "id_b", "sig_a", "sig_b"]
-        if "sk0" in b.columns:
-            cols += ["sk0_a", "sk1_a", "sk0_b", "sk1_b"]
+        if has_sk:
+            cols += [f"{c}_{s}" for s in ("a", "b") for c in sk_cols]
         left = b.select(
             "band_key", F.col("id").alias("id_a"),
             F.col("sig").alias("sig_a"),
-            *([F.col("sk0").alias("sk0_a"), F.col("sk1").alias("sk1_a")]
-              if "sk0" in b.columns else []),
+            *([F.col(c).alias(f"{c}_a") for c in sk_cols]
+              if has_sk else []),
         )
         right = b.select(
             "band_key", F.col("id").alias("id_b"),
             F.col("sig").alias("sig_b"),
-            *([F.col("sk0").alias("sk0_b"), F.col("sk1").alias("sk1_b")]
-              if "sk0" in b.columns else []),
+            *([F.col(c).alias(f"{c}_b") for c in sk_cols]
+              if has_sk else []),
         )
         cand = (
             left.join(right, "band_key")
@@ -841,7 +844,7 @@ def test_minhash_sketch_prefilter_drops_nothing(spark):
     }
     without = {
         (r.id_a, r.id_b): r.est_jaccard
-        for r in pairs(banded.drop("sk0", "sk1")).collect()
+        for r in pairs(banded.drop(*sk_cols)).collect()
     }
     assert with_sketch == without
     assert with_sketch  # non-empty: the planted clones must surface
