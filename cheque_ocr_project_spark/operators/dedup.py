@@ -73,6 +73,19 @@ def _codepoints(text: str) -> np.ndarray:
     return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
 
 
+def _mod_p(x: np.ndarray) -> np.ndarray:
+    """x mod POLY_P for non-negative int64 x, via Mersenne-prime folding
+    (P = 2^31 - 1, so x ≡ (x & P) + (x >> 31) mod P): two folds bring any
+    x < 2^63 under P + 4, one conditional subtract finishes. Exactly
+    equal to ``x % POLY_P`` (pinned by tests/test_hash_spec.py) at ~3
+    cheap vector ops instead of the hardware divide — the signature
+    stage runs this 64x per shingle hash (r08, guide §1.2 per-task
+    work)."""
+    x = (x & POLY_P) + (x >> 31)
+    x = (x & POLY_P) + (x >> 31)
+    return np.where(x >= POLY_P, x - POLY_P, x)
+
+
 def polyhash(text: str, init: int = 7) -> int:
     """Reference scalar implementation (tests + short-text fallback)."""
     acc = init
@@ -93,7 +106,7 @@ def batch_polyhash(strs: list[str], init: int = 7) -> np.ndarray:
     acc = np.full(len(strs), init, dtype=np.int64)
     for j in range(int(lens.max(initial=0))):
         live = lens > j
-        acc[live] = (acc[live] * POLY_MULT + codes[offs[live] + j]) % POLY_P
+        acc[live] = _mod_p(acc[live] * POLY_MULT + codes[offs[live] + j])
     return acc
 
 
@@ -119,7 +132,7 @@ def _batch_shingle_hashes(texts: list[str], k: int
     pos = starts + within
     acc = np.full(pos.shape, 7, dtype=np.int64)
     for j in range(k):
-        acc = (acc * POLY_MULT + codes[pos + j]) % POLY_P
+        acc = _mod_p(acc * POLY_MULT + codes[pos + j])
 
     # short rows: one whole-text shingle each (rare; scalar fallback)
     short_hashes = {
@@ -189,7 +202,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             seg = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
             sig = np.empty((num_perm, len(texts)), dtype=np.int64)
             for j in range(num_perm):  # 1 full-vector pass + segmented min
-                vals = (a[j] * hashes + b[j]) % POLY_P
+                vals = _mod_p(a[j] * hashes + b[j])
                 sig[j] = np.minimum.reduceat(vals, seg)
             # sketch bits come from the TOP bits of a multiplicative hash
             # of each minhash value, not its raw low bits: the min values
@@ -852,8 +865,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
             flat = [tok for ts in row_tokens for tok in ts]
             if flat:
-                h1 = (batch_polyhash(flat, 7) * SIMHASH_MIX1) % POLY_P
-                h2 = (batch_polyhash(flat, 11) * SIMHASH_MIX2) % POLY_P
+                h1 = _mod_p(batch_polyhash(flat, 7) * SIMHASH_MIX1)
+                h2 = _mod_p(batch_polyhash(flat, 11) * SIMHASH_MIX2)
                 h64 = (h1 << np.int64(31)) + h2
                 bits = ((h64[:, None].astype(np.uint64) >> bit_idx[None, :])
                         & np.uint64(1)).astype(np.int64)
